@@ -1,0 +1,789 @@
+// rtc_native — native runtime for the rabbittclust_tpu framework.
+//
+// Host-side components that are string/IO-bound and therefore belong on the
+// CPU, built fresh for this framework (not copied from the reference):
+//   * glibc srand()/rand() emulation + the KSSD dimension-shuffle table
+//     (behavioral spec: reference src/SketchInfo.cpp:60-102)
+//   * KSSD sketcher: rolling 2-bit canonical k-mer scan + dimension filter
+//     (behavioral spec: reference src/SketchInfo.cpp:994-1252)
+//   * MinHash bottom-s sketcher (Mash-compatible MurmurHash3, seed 42)
+//   * Parallel FASTA(.gz) ingest (OpenMP over files / sequences)
+//
+// Build:  g++ -O3 -march=native -fopenmp -shared -fPIC -o librtc_native.so \
+//             rtc_native.cpp -lz
+// Python binding: ctypes (see rabbittclust_tpu/utils/native.py).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <algorithm>
+#include <zlib.h>
+#include <omp.h>
+
+// ---------------------------------------------------------------------------
+// glibc rand() emulation (TYPE_3 additive generator, degree 31, separation 3)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct GlibcRand {
+  uint32_t table[344];
+  size_t f, r;  // front (i-3) and rear (i-31) indices into ring
+  uint32_t ring[31];
+  size_t pos;
+
+  explicit GlibcRand(uint32_t seed) {
+    if (seed == 0) seed = 1;
+    int32_t word = (int32_t)seed;
+    table[0] = (uint32_t)word;
+    for (int i = 1; i < 31; ++i) {
+      // (16807 * prev) % 2147483647 via Schrage to avoid overflow
+      int64_t hi = word / 127773;
+      int64_t lo = word % 127773;
+      int64_t w = 16807 * lo - 2836 * hi;
+      if (w < 0) w += 2147483647;
+      word = (int32_t)w;
+      table[i] = (uint32_t)word;
+    }
+    for (int i = 31; i < 34; ++i) table[i] = table[i - 31];
+    for (int i = 34; i < 344; ++i) table[i] = table[i - 3] + table[i - 31];
+    // keep last 31 values in a ring; outputs start at index 344
+    for (int i = 0; i < 31; ++i) ring[i] = table[344 - 31 + i];
+    pos = 0;
+  }
+
+  inline uint32_t next() {
+    // new value = ring[pos - 3 mod 31] + ring[pos - 31 mod 31] where ring[pos]
+    // is about to be overwritten (it holds the value 31 steps back).
+    uint32_t v = ring[(pos + 31 - 3) % 31] + ring[pos];
+    ring[pos] = v;
+    pos = (pos + 1) % 31;
+    return v >> 1;
+  }
+};
+
+}  // namespace
+
+extern "C" int rtc_version() { return 1; }
+
+extern "C" void rtc_glibc_rand_stream(uint32_t seed, int64_t n, uint32_t* out) {
+  GlibcRand g(seed);
+  for (int64_t i = 0; i < n; ++i) out[i] = g.next();
+}
+
+// Fisher-Yates exactly as the reference shuffle(): for i = n-1..1,
+// j = rand() % (i+1); swap.
+extern "C" void rtc_fisher_yates(int32_t* arr, int64_t n, uint32_t seed) {
+  GlibcRand g(seed);
+  for (int64_t i = n - 1; i > 0; --i) {
+    int64_t j = (int64_t)(g.next() % (uint32_t)(i + 1));
+    int32_t t = arr[i];
+    arr[i] = arr[j];
+    arr[j] = t;
+  }
+}
+
+// Shuffle table: identity shuffled with seed 23 then seed 348842630.
+extern "C" void rtc_generate_shuffle_dim(int half_subk, int32_t* out) {
+  int64_t dim_size = 1LL << (4 * half_subk);
+  for (int64_t i = 0; i < dim_size; ++i) out[i] = (int32_t)i;
+  rtc_fisher_yates(out, dim_size, 23u);
+  rtc_fisher_yates(out, dim_size, 348842630u);
+}
+
+// ---------------------------------------------------------------------------
+// Open-addressing uint64 hash set (dedup of KSSD tuples / MinHash values)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+static inline uint64_t splitmix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ULL;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+  return x ^ (x >> 31);
+}
+
+struct U64Set {
+  static constexpr uint64_t EMPTY = ~0ULL;
+  std::vector<uint64_t> slots;
+  uint64_t mask = 0;
+  size_t count = 0;
+  bool has_empty_val = false;  // tracks the literal value ~0
+
+  U64Set() { reset(1 << 12); }
+
+  void reset(size_t cap) {
+    size_t n = 16;
+    while (n < cap * 2) n <<= 1;
+    slots.assign(n, EMPTY);
+    mask = n - 1;
+    count = 0;
+    has_empty_val = false;
+  }
+
+  void clear() {
+    std::fill(slots.begin(), slots.end(), EMPTY);
+    count = 0;
+    has_empty_val = false;
+  }
+
+  void grow() {
+    std::vector<uint64_t> old;
+    old.swap(slots);
+    slots.assign(old.size() * 2, EMPTY);
+    mask = slots.size() - 1;
+    for (uint64_t v : old) {
+      if (v == EMPTY) continue;
+      size_t i = splitmix64(v) & mask;
+      while (slots[i] != EMPTY) i = (i + 1) & mask;
+      slots[i] = v;
+    }
+  }
+
+  inline void insert(uint64_t x) {
+    if (x == EMPTY) { has_empty_val = true; return; }
+    if ((count + 1) * 4 >= slots.size() * 3) grow();
+    size_t i = splitmix64(x) & mask;
+    while (slots[i] != EMPTY) {
+      if (slots[i] == x) return;
+      i = (i + 1) & mask;
+    }
+    slots[i] = x;
+    ++count;
+  }
+
+  size_t size() const { return count + (has_empty_val ? 1 : 0); }
+
+  // Extract values sorted ascending.
+  void extract_sorted(uint64_t* out) const {
+    size_t k = 0;
+    for (uint64_t v : slots)
+      if (v != EMPTY) out[k++] = v;
+    if (has_empty_val) out[k++] = EMPTY;
+    std::sort(out, out + k);
+  }
+};
+
+// ---------------------------------------------------------------------------
+// KSSD sketcher — rolling canonical k-mer + shuffled-dimension filter.
+// Bit layout mirrors reference src/SketchInfo.cpp:1019-1065,1120-1165.
+// ---------------------------------------------------------------------------
+
+static const int8_t kBaseMap[256] = {
+    // A=0 C=1 G=2 T=3 (upper & lower), everything else -1
+    -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+    -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+    -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+    -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+    -1,  0, -1,  1, -1, -1, -1,  2, -1, -1, -1, -1, -1, -1, -1, -1,
+    -1, -1, -1, -1,  3, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+    -1,  0, -1,  1, -1, -1, -1,  2, -1, -1, -1, -1, -1, -1, -1, -1,
+    -1, -1, -1, -1,  3, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+    -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+    -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+    -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+    -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+    -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+    -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+    -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+    -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1};
+
+struct KssdParams {
+  int half_k, half_subk, drlevel;
+  int kmer_size;
+  bool use64;
+  int dim_end;
+  uint64_t tupmask, domask, undomask0, undomask1;
+  int rev_add_move, half_outctx_len_x2, drlevel_x4, shift1;
+
+  void init(int hk, int hsk, int dl) {
+    half_k = hk;
+    half_subk = hsk;
+    drlevel = dl;
+    kmer_size = 2 * hk;
+    use64 = (hk - dl) > 8;
+    dim_end = 1 << (4 * (hsk - dl));
+    int comp_bittl = 64 - 4 * hk;
+    int half_outctx_len = hk - hsk;
+    rev_add_move = 4 * hk - 2;
+    tupmask = ~0ULL >> comp_bittl;
+    domask = (tupmask >> (4 * half_outctx_len)) << (2 * half_outctx_len);
+    uint64_t undomask = (tupmask ^ domask) & tupmask;
+    uint64_t u1 = undomask & (tupmask >> ((hk + hsk) * 2));
+    undomask1 = u1;
+    undomask0 = undomask ^ u1;
+    half_outctx_len_x2 = half_outctx_len * 2;
+    drlevel_x4 = dl * 4;
+    shift1 = kmer_size * 2 - half_outctx_len * 4;
+  }
+};
+
+struct KssdSketcher {
+  KssdParams p;
+  const int32_t* shuffled_dim;  // not owned
+  U64Set set;
+
+  void update(const char* seq, int64_t len) {
+    uint64_t tuple = 0, rvs = 0;
+    int base = 1;
+    const int ksz = p.kmer_size;
+    for (int64_t j = 0; j < len; ++j) {
+      int b = kBaseMap[(unsigned char)seq[j]];
+      if (__builtin_expect(b != -1, 1)) {
+        tuple = ((tuple << 2) | (uint64_t)b) & p.tupmask;
+        rvs = (rvs >> 2) + (((uint64_t)b ^ 3ULL) << p.rev_add_move);
+        ++base;
+        if (__builtin_expect(base > ksz, 0)) {
+          uint64_t uni = tuple < rvs ? tuple : rvs;
+          uint32_t dim_id = (uint32_t)((uni & p.domask) >> p.half_outctx_len_x2);
+          int32_t pf = shuffled_dim[dim_id];
+          if ((uint32_t)pf >= (uint32_t)p.dim_end) continue;
+          uint64_t dr = (((uni & p.undomask0) |
+                          ((uni & p.undomask1) << p.shift1)) >>
+                         p.drlevel_x4) |
+                        (uint64_t)pf;
+          set.insert(dr);
+        }
+      } else {
+        base = 1;
+        tuple = 0;
+        rvs = 0;
+      }
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// MinHash bottom-s sketcher (Mash-compatible).
+// MurmurHash3 (public domain, Austin Appleby) reimplemented below.
+// ---------------------------------------------------------------------------
+
+static inline uint64_t rotl64(uint64_t x, int8_t r) {
+  return (x << r) | (x >> (64 - r));
+}
+static inline uint32_t rotl32(uint32_t x, int8_t r) {
+  return (x << r) | (x >> (32 - r));
+}
+static inline uint64_t fmix64(uint64_t k) {
+  k ^= k >> 33;
+  k *= 0xff51afd7ed558ccdULL;
+  k ^= k >> 33;
+  k *= 0xc4ceb9fe1a85ec53ULL;
+  k ^= k >> 33;
+  return k;
+}
+
+static void murmur3_x64_128(const void* key, int len, uint32_t seed, void* out) {
+  const uint8_t* data = (const uint8_t*)key;
+  const int nblocks = len / 16;
+  uint64_t h1 = seed, h2 = seed;
+  const uint64_t c1 = 0x87c37b91114253d5ULL, c2 = 0x4cf5ad432745937fULL;
+  const uint64_t* blocks = (const uint64_t*)(data);
+  for (int i = 0; i < nblocks; i++) {
+    uint64_t k1, k2;
+    memcpy(&k1, blocks + i * 2, 8);
+    memcpy(&k2, blocks + i * 2 + 1, 8);
+    k1 *= c1; k1 = rotl64(k1, 31); k1 *= c2; h1 ^= k1;
+    h1 = rotl64(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729;
+    k2 *= c2; k2 = rotl64(k2, 33); k2 *= c1; h2 ^= k2;
+    h2 = rotl64(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495ab5;
+  }
+  const uint8_t* tail = data + nblocks * 16;
+  uint64_t k1 = 0, k2 = 0;
+  switch (len & 15) {
+    case 15: k2 ^= ((uint64_t)tail[14]) << 48; [[fallthrough]];
+    case 14: k2 ^= ((uint64_t)tail[13]) << 40; [[fallthrough]];
+    case 13: k2 ^= ((uint64_t)tail[12]) << 32; [[fallthrough]];
+    case 12: k2 ^= ((uint64_t)tail[11]) << 24; [[fallthrough]];
+    case 11: k2 ^= ((uint64_t)tail[10]) << 16; [[fallthrough]];
+    case 10: k2 ^= ((uint64_t)tail[9]) << 8; [[fallthrough]];
+    case 9:  k2 ^= ((uint64_t)tail[8]) << 0;
+             k2 *= c2; k2 = rotl64(k2, 33); k2 *= c1; h2 ^= k2; [[fallthrough]];
+    case 8:  k1 ^= ((uint64_t)tail[7]) << 56; [[fallthrough]];
+    case 7:  k1 ^= ((uint64_t)tail[6]) << 48; [[fallthrough]];
+    case 6:  k1 ^= ((uint64_t)tail[5]) << 40; [[fallthrough]];
+    case 5:  k1 ^= ((uint64_t)tail[4]) << 32; [[fallthrough]];
+    case 4:  k1 ^= ((uint64_t)tail[3]) << 24; [[fallthrough]];
+    case 3:  k1 ^= ((uint64_t)tail[2]) << 16; [[fallthrough]];
+    case 2:  k1 ^= ((uint64_t)tail[1]) << 8; [[fallthrough]];
+    case 1:  k1 ^= ((uint64_t)tail[0]) << 0;
+             k1 *= c1; k1 = rotl64(k1, 31); k1 *= c2; h1 ^= k1;
+  }
+  h1 ^= len; h2 ^= len;
+  h1 += h2; h2 += h1;
+  h1 = fmix64(h1); h2 = fmix64(h2);
+  h1 += h2; h2 += h1;
+  ((uint64_t*)out)[0] = h1;
+  ((uint64_t*)out)[1] = h2;
+}
+
+static uint32_t murmur3_x86_32(const void* key, int len, uint32_t seed) {
+  const uint8_t* data = (const uint8_t*)key;
+  const int nblocks = len / 4;
+  uint32_t h1 = seed;
+  const uint32_t c1 = 0xcc9e2d51, c2 = 0x1b873593;
+  for (int i = 0; i < nblocks; i++) {
+    uint32_t k1;
+    memcpy(&k1, data + i * 4, 4);
+    k1 *= c1; k1 = rotl32(k1, 15); k1 *= c2;
+    h1 ^= k1; h1 = rotl32(h1, 13); h1 = h1 * 5 + 0xe6546b64;
+  }
+  const uint8_t* tail = data + nblocks * 4;
+  uint32_t k1 = 0;
+  switch (len & 3) {
+    case 3: k1 ^= tail[2] << 16; [[fallthrough]];
+    case 2: k1 ^= tail[1] << 8; [[fallthrough]];
+    case 1: k1 ^= tail[0];
+            k1 *= c1; k1 = rotl32(k1, 15); k1 *= c2; h1 ^= k1;
+  }
+  h1 ^= len;
+  h1 ^= h1 >> 16; h1 *= 0x85ebca6b; h1 ^= h1 >> 13;
+  h1 *= 0xc2b2ae35; h1 ^= h1 >> 16;
+  return h1;
+}
+
+static const char kComp[256] = {
+    0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0, 0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,
+    0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0, 0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,
+    0,'T',0,'G',0,0,0,'C',0,0,0,0,0,0,'N',0, 0,0,0,0,'A',0,0,0,0,0,0,0,0,0,0,0,
+    0,'t',0,'g',0,0,0,'c',0,0,0,0,0,0,'n',0, 0,0,0,0,'a',0,0,0,0,0,0,0,0,0,0,0,
+};
+
+// Bottom-s MinHash over canonical k-mers (Mash convention: canonical = the
+// memcmp-smaller of the k-mer and its reverse complement; hash = MurmurHash3
+// seed 42; 64-bit for k > 16, 32-bit otherwise).  Keeps the s smallest
+// distinct hash values via a bounded max-heap + membership set.
+struct MinHashSketcher {
+  int k;
+  int s;  // sketch size (bottom-s); if <=0, keep everything (containment uses
+          // per-genome size decided by caller via set_capacity)
+  std::vector<uint64_t> heap;  // max-heap of kept hashes
+  U64Set member;
+  std::vector<char> kmer_buf, rc_buf;
+
+  void init(int kk, int ss) {
+    k = kk;
+    s = ss;
+    heap.clear();
+    heap.reserve(ss > 0 ? ss : 1024);
+    member.reset(ss > 0 ? (size_t)ss : 1024);
+    kmer_buf.resize(k);
+    rc_buf.resize(k);
+  }
+
+  inline void offer(uint64_t h) {
+    if (s > 0 && (int)heap.size() >= s) {
+      if (h >= heap.front()) return;
+    }
+    // membership dedup
+    size_t before = member.size();
+    member.insert(h);
+    if (member.size() == before) return;
+    heap.push_back(h);
+    std::push_heap(heap.begin(), heap.end());
+    if (s > 0 && (int)heap.size() > s) {
+      std::pop_heap(heap.begin(), heap.end());
+      heap.pop_back();
+    }
+  }
+
+  void update(const char* seq, int64_t len) {
+    if (len < k) return;
+    const bool use64 = k > 16;
+    for (int64_t i = 0; i + k <= len; ++i) {
+      // validity + canonical construction
+      bool ok = true;
+      for (int j = 0; j < k; ++j) {
+        char c = seq[i + j];
+        if (kBaseMap[(unsigned char)c] < 0) {
+          ok = false;
+          break;
+        }
+        // uppercase for hashing (Mash uppercases input)
+        kmer_buf[j] = c >= 'a' ? c - 32 : c;
+      }
+      if (!ok) continue;
+      for (int j = 0; j < k; ++j) rc_buf[j] = kComp[(unsigned char)kmer_buf[k - 1 - j]];
+      const char* can = memcmp(kmer_buf.data(), rc_buf.data(), k) <= 0
+                            ? kmer_buf.data()
+                            : rc_buf.data();
+      uint64_t h;
+      if (use64) {
+        uint64_t out[2];
+        murmur3_x64_128(can, k, 42, out);
+        h = out[0];
+      } else {
+        h = murmur3_x86_32(can, k, 42);
+      }
+      offer(h);
+    }
+  }
+
+  int64_t size() const { return (int64_t)heap.size(); }
+  void extract_sorted(uint64_t* out) const {
+    std::copy(heap.begin(), heap.end(), out);
+    std::sort(out, out + heap.size());
+  }
+};
+
+// ---------------------------------------------------------------------------
+// FASTA(.gz) parsing — buffered reader on zlib gzFile (handles plain files
+// transparently).  Own implementation; not kseq.
+// ---------------------------------------------------------------------------
+
+struct SeqRecord {
+  std::string name, comment, seq;
+};
+
+struct FastaReader {
+  gzFile fp = nullptr;
+  std::vector<char> buf;
+  int64_t pos = 0, avail = 0;
+  bool eof_ = false;
+
+  bool open(const char* path) {
+    fp = gzopen(path, "rb");
+    if (!fp) return false;
+    gzbuffer(fp, 1 << 20);
+    buf.resize(1 << 20);
+    pos = avail = 0;
+    eof_ = false;
+    return true;
+  }
+  void close() {
+    if (fp) gzclose(fp);
+    fp = nullptr;
+  }
+  inline int peek() {
+    if (pos >= avail) {
+      if (eof_) return -1;
+      avail = gzread(fp, buf.data(), (unsigned)buf.size());
+      pos = 0;
+      if (avail <= 0) {
+        eof_ = true;
+        return -1;
+      }
+    }
+    return (unsigned char)buf[pos];
+  }
+  inline int get() {
+    int c = peek();
+    if (c >= 0) ++pos;
+    return c;
+  }
+
+  // Read next record; returns false at EOF.
+  bool next(SeqRecord& rec) {
+    int c;
+    while ((c = get()) >= 0 && c != '>') {
+    }
+    if (c < 0) return false;
+    rec.name.clear();
+    rec.comment.clear();
+    rec.seq.clear();
+    // header
+    while ((c = get()) >= 0 && c != '\n') {
+      if (c == '\r') continue;
+      rec.name.push_back((char)c);
+    }
+    size_t sp = rec.name.find_first_of(" \t");
+    if (sp != std::string::npos) {
+      rec.comment = rec.name.substr(sp + 1);
+      rec.name.resize(sp);
+    }
+    // sequence lines until next '>' or EOF
+    while (true) {
+      int p = peek();
+      if (p < 0 || p == '>') break;
+      if (p == '\n' || p == '\r') {
+        ++pos;
+        continue;
+      }
+      // consume a line
+      while ((c = get()) >= 0 && c != '\n') {
+        if (c != '\r') rec.seq.push_back((char)c);
+      }
+    }
+    return true;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Result container handed back to Python
+// ---------------------------------------------------------------------------
+
+struct GenomeSketch {
+  std::string file_name;
+  std::string name, comment;  // first sequence of the genome (or the seq itself)
+  int64_t seq0_len = 0;
+  int64_t total_len = 0;
+  int64_t num_seqs = 0;
+  std::vector<uint64_t> hashes;  // sorted ascending
+  int32_t ok = 1;                // 0 if file missing/unreadable
+};
+
+struct SketchResult {
+  std::vector<GenomeSketch> genomes;
+};
+
+}  // namespace
+
+extern "C" {
+
+// ---- shuffle table / sketch-by-files pipeline -----------------------------
+
+// mode 0 = KSSD, 1 = MinHash
+// For KSSD: param1 = half_k, param2 = half_subk, param3 = drlevel,
+//           shuffled_dim used.  For MinHash: param1 = k, param2 = sketch size
+//           (<=0: unbounded for containment with per-genome cap param3>0 ? ...),
+//           param3 = containCompress (>0 -> per-genome size max(len/cc, 100)).
+void* rtc_sketch_files(const char** files, int64_t nfiles, int64_t min_len,
+                       int mode, int param1, int param2, int param3,
+                       const int32_t* shuffled_dim, int threads) {
+  auto* res = new SketchResult();
+  res->genomes.resize(nfiles);
+  KssdParams kp;
+  if (mode == 0) kp.init(param1, param2, param3);
+
+#pragma omp parallel num_threads(threads)
+  {
+    KssdSketcher ks;
+    ks.p = kp;
+    ks.shuffled_dim = shuffled_dim;
+    MinHashSketcher ms;
+#pragma omp for schedule(dynamic)
+    for (int64_t i = 0; i < nfiles; ++i) {
+      GenomeSketch& g = res->genomes[i];
+      g.file_name = files[i];
+      FastaReader rd;
+      if (!rd.open(files[i])) {
+        g.ok = 0;
+        continue;
+      }
+      if (mode == 0) {
+        ks.set.reset(1 << 12);
+      } else {
+        ms.init(param1, param2 > 0 ? param2 : 0);
+      }
+      SeqRecord rec;
+      bool first = true;
+      while (rd.next(rec)) {
+        g.total_len += (int64_t)rec.seq.size();
+        ++g.num_seqs;
+        if (first) {
+          g.name = rec.name.empty() ? "noName" : rec.name;
+          g.comment = rec.comment.empty() ? "noName" : rec.comment;
+          g.seq0_len = (int64_t)rec.seq.size();
+          first = false;
+        }
+        if (mode == 0)
+          ks.update(rec.seq.data(), (int64_t)rec.seq.size());
+        else
+          ms.update(rec.seq.data(), (int64_t)rec.seq.size());
+      }
+      rd.close();
+      if (mode == 1 && param3 > 0) {
+        // containment mode: re-cap to per-genome size — handled by caller via
+        // a second pass; here we kept everything (param2 <= 0 expected).
+      }
+      if (g.total_len >= min_len) {
+        if (mode == 0) {
+          g.hashes.resize(ks.set.size());
+          ks.set.extract_sorted(g.hashes.data());
+        } else {
+          g.hashes.resize(ms.size());
+          ms.extract_sorted(g.hashes.data());
+        }
+      }
+      // genomes below min_len keep an empty hash vector; caller filters
+    }
+  }
+  return res;
+}
+
+// Sketch each SEQUENCE of a single FASTA file as its own genome.
+void* rtc_sketch_sequences(const char* file, int64_t min_len, int mode,
+                           int param1, int param2, int param3,
+                           const int32_t* shuffled_dim, int threads) {
+  // Pass 1: read all records (sequential IO), then parallel sketch.
+  std::vector<SeqRecord> recs;
+  {
+    FastaReader rd;
+    if (!rd.open(file)) return new SketchResult();
+    SeqRecord rec;
+    while (rd.next(rec)) recs.push_back(std::move(rec));
+    rd.close();
+  }
+  auto* res = new SketchResult();
+  res->genomes.resize(recs.size());
+  KssdParams kp;
+  if (mode == 0) kp.init(param1, param2, param3);
+#pragma omp parallel num_threads(threads)
+  {
+    KssdSketcher ks;
+    ks.p = kp;
+    ks.shuffled_dim = shuffled_dim;
+    MinHashSketcher ms;
+#pragma omp for schedule(dynamic)
+    for (int64_t i = 0; i < (int64_t)recs.size(); ++i) {
+      GenomeSketch& g = res->genomes[i];
+      g.file_name = file;
+      g.name = recs[i].name.empty() ? "noName" : recs[i].name;
+      g.comment = recs[i].comment.empty() ? "noName" : recs[i].comment;
+      g.seq0_len = (int64_t)recs[i].seq.size();
+      g.total_len = g.seq0_len;
+      g.num_seqs = 1;
+      if (g.total_len < min_len) continue;
+      if (mode == 0) {
+        ks.set.reset(1 << 12);
+        ks.update(recs[i].seq.data(), g.seq0_len);
+        g.hashes.resize(ks.set.size());
+        ks.set.extract_sorted(g.hashes.data());
+      } else {
+        int cap = param2;
+        if (param3 > 0) {  // containment: per-sequence sketch size
+          cap = (int)std::max<int64_t>(g.seq0_len / param3, 100);
+        }
+        ms.init(param1, cap);
+        ms.update(recs[i].seq.data(), g.seq0_len);
+        g.hashes.resize(ms.size());
+        ms.extract_sorted(g.hashes.data());
+      }
+    }
+  }
+  return res;
+}
+
+// MinHash containment by file: per-genome sketch size = max(total_len/cc, 100).
+// Requires genome length first, so parse once for length then sketch.
+void* rtc_sketch_files_minhash_contain(const char** files, int64_t nfiles,
+                                       int64_t min_len, int k, int cc,
+                                       int threads) {
+  auto* res = new SketchResult();
+  res->genomes.resize(nfiles);
+#pragma omp parallel num_threads(threads)
+  {
+    MinHashSketcher ms;
+#pragma omp for schedule(dynamic)
+    for (int64_t i = 0; i < nfiles; ++i) {
+      GenomeSketch& g = res->genomes[i];
+      g.file_name = files[i];
+      // pass 1: lengths + metadata
+      {
+        FastaReader rd;
+        if (!rd.open(files[i])) {
+          g.ok = 0;
+          continue;
+        }
+        SeqRecord rec;
+        bool first = true;
+        while (rd.next(rec)) {
+          g.total_len += (int64_t)rec.seq.size();
+          ++g.num_seqs;
+          if (first) {
+            g.name = rec.name.empty() ? "noName" : rec.name;
+            g.comment = rec.comment.empty() ? "noName" : rec.comment;
+            g.seq0_len = (int64_t)rec.seq.size();
+            first = false;
+          }
+        }
+        rd.close();
+      }
+      if (g.total_len < min_len) continue;
+      int cap = (int)std::max<int64_t>(g.total_len / cc, 100);
+      ms.init(k, cap);
+      {
+        FastaReader rd;
+        if (!rd.open(files[i])) {
+          g.ok = 0;
+          continue;
+        }
+        SeqRecord rec;
+        while (rd.next(rec)) ms.update(rec.seq.data(), (int64_t)rec.seq.size());
+        rd.close();
+      }
+      g.hashes.resize(ms.size());
+      ms.extract_sorted(g.hashes.data());
+    }
+  }
+  return res;
+}
+
+// ---- result accessors ------------------------------------------------------
+
+int64_t rtc_result_count(void* h) {
+  return (int64_t)((SketchResult*)h)->genomes.size();
+}
+int32_t rtc_result_ok(void* h, int64_t i) {
+  return ((SketchResult*)h)->genomes[i].ok;
+}
+int64_t rtc_result_total_len(void* h, int64_t i) {
+  return ((SketchResult*)h)->genomes[i].total_len;
+}
+int64_t rtc_result_seq0_len(void* h, int64_t i) {
+  return ((SketchResult*)h)->genomes[i].seq0_len;
+}
+int64_t rtc_result_num_seqs(void* h, int64_t i) {
+  return ((SketchResult*)h)->genomes[i].num_seqs;
+}
+int64_t rtc_result_sketch_size(void* h, int64_t i) {
+  return (int64_t)((SketchResult*)h)->genomes[i].hashes.size();
+}
+void rtc_result_hashes(void* h, int64_t i, uint64_t* out) {
+  const auto& v = ((SketchResult*)h)->genomes[i].hashes;
+  memcpy(out, v.data(), v.size() * sizeof(uint64_t));
+}
+const char* rtc_result_name(void* h, int64_t i) {
+  return ((SketchResult*)h)->genomes[i].name.c_str();
+}
+const char* rtc_result_comment(void* h, int64_t i) {
+  return ((SketchResult*)h)->genomes[i].comment.c_str();
+}
+const char* rtc_result_file(void* h, int64_t i) {
+  return ((SketchResult*)h)->genomes[i].file_name.c_str();
+}
+void rtc_result_free(void* h) { delete (SketchResult*)h; }
+
+// ---- incremental single sketcher (tests / streaming) ----------------------
+
+void* rtc_kssd_create(int half_k, int half_subk, int drlevel,
+                      const int32_t* shuffled_dim) {
+  auto* s = new KssdSketcher();
+  s->p.init(half_k, half_subk, drlevel);
+  s->shuffled_dim = shuffled_dim;
+  return s;
+}
+void rtc_kssd_reset(void* s) { ((KssdSketcher*)s)->set.reset(1 << 12); }
+void rtc_kssd_update(void* s, const char* seq, int64_t len) {
+  ((KssdSketcher*)s)->update(seq, len);
+}
+int64_t rtc_kssd_size(void* s) { return (int64_t)((KssdSketcher*)s)->set.size(); }
+void rtc_kssd_extract(void* s, uint64_t* out) {
+  ((KssdSketcher*)s)->set.extract_sorted(out);
+}
+void rtc_kssd_destroy(void* s) { delete (KssdSketcher*)s; }
+
+// ---- file size pre-scan (calSize equivalent: parse for true lengths) ------
+
+void rtc_scan_lengths(const char** files, int64_t nfiles, int64_t* out_len,
+                      int threads) {
+#pragma omp parallel for schedule(dynamic) num_threads(threads)
+  for (int64_t i = 0; i < nfiles; ++i) {
+    FastaReader rd;
+    int64_t total = 0;
+    if (rd.open(files[i])) {
+      SeqRecord rec;
+      while (rd.next(rec)) total += (int64_t)rec.seq.size();
+      rd.close();
+    } else {
+      total = -1;
+    }
+    out_len[i] = total;
+  }
+}
+
+}  // extern "C"

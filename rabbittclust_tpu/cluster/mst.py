@@ -1,0 +1,288 @@
+"""MST clustering engine — host reference implementation.
+
+Re-derivation of the reference clust-mst pipeline (src/MST.cpp:216-807):
+candidate pairs from shared sketch hashes, exact integer intersection counts,
+Mash/AAF distances in float64, streaming Kruskal, threshold forest cut and
+BFS component labeling.
+
+The candidate generation here is fully vectorized NumPy (sort + run-length
+pair expansion) — semantically identical to the reference's inverted-index
+walk: a pair (i, j) is a candidate iff the sketches share >= 1 hash.  The
+device (TPU) engine in ops/ produces the same integer counts for dense pair
+tiles; both feed this module's Kruskal/labeling.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..distance.mash import aaf_distance, mash_distance, size_ratio_limit
+from .union_find import UnionFind
+
+DENSE_SPAN = 100  # reference common.hpp:26 (buckets of 0.01)
+
+
+# ---------------------------------------------------------------------------
+# Candidate generation (shared-hash pairs with exact intersection counts)
+# ---------------------------------------------------------------------------
+
+def flatten_sketches(hashes: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    """Concatenate per-genome sorted hash arrays into (hash, gid) columns."""
+    if not hashes:
+        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int32))
+    gid = np.concatenate(
+        [np.full(len(h), i, dtype=np.int32) for i, h in enumerate(hashes)])
+    hv = np.concatenate([np.asarray(h) for h in hashes])
+    return hv, gid
+
+
+def candidate_pair_counts(
+    hashes: List[np.ndarray],
+    start_index: int = 0,
+    pair_chunk: int = 1 << 26,
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield (i, j, common) chunks over all genome pairs sharing >= 1 hash.
+
+    i < j always; with ``start_index`` > 0, only pairs whose larger id is a
+    new genome (j >= start_index) are produced — the append-mode semantics of
+    the reference (src/MST.cpp:394-400).
+    """
+    n = len(hashes)
+    if n < 2:
+        return
+    hv, gid = flatten_sketches(hashes)
+    order = np.argsort(hv, kind="stable")  # stable => gid ascending within run
+    hv_s = hv[order]
+    gid_s = gid[order]
+    starts = np.flatnonzero(np.r_[True, hv_s[1:] != hv_s[:-1]])
+    lens = np.diff(np.r_[starts, len(hv_s)]).astype(np.int64)
+    multi = lens >= 2
+    starts, lens = starts[multi], lens[multi]
+    if len(starts) == 0:
+        return
+
+    # group runs by identical length; expand pairs with precomputed triu maps
+    key_buf: List[np.ndarray] = []
+    buffered = 0
+
+    def _flush():
+        nonlocal key_buf, buffered
+        if not key_buf:
+            return None
+        keys = np.concatenate(key_buf)
+        key_buf = []
+        buffered = 0
+        uk, counts = np.unique(keys, return_counts=True)
+        i = (uk // n).astype(np.int64)
+        j = (uk % n).astype(np.int64)
+        return i, j, counts.astype(np.int64)
+
+    for L in np.unique(lens):
+        runs = starts[lens == L]
+        iu0, iu1 = np.triu_indices(int(L), k=1)
+        # gather the gid matrix for all runs of this length
+        idx = runs[:, None] + np.arange(int(L))[None, :]
+        g = gid_s[idx]                        # (nruns, L), ascending per row
+        a = g[:, iu0].ravel().astype(np.int64)
+        b = g[:, iu1].ravel().astype(np.int64)
+        if start_index > 0:
+            keep = b >= start_index
+            a, b = a[keep], b[keep]
+        if len(a) == 0:
+            continue
+        key_buf.append(a * n + b)
+        buffered += len(a)
+        if buffered >= pair_chunk:
+            out = _flush()
+            if out is not None:
+                yield out
+    out = _flush()
+    if out is not None:
+        yield out
+
+
+# ---------------------------------------------------------------------------
+# Edge construction + streaming Kruskal
+# ---------------------------------------------------------------------------
+
+Edges = Tuple[np.ndarray, np.ndarray, np.ndarray]  # (i int64, j int64, dist f64)
+
+
+def _empty_edges() -> Edges:
+    return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float64))
+
+
+def concat_edges(parts: List[Edges]) -> Edges:
+    if not parts:
+        return _empty_edges()
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]))
+
+
+def sort_edges(e: Edges) -> Edges:
+    """Sort by (dist, i, j) — deterministic tie order.  The reference sorts
+    by dist only with unstable std::sort; single-linkage clusters are
+    invariant to tie order, so only edge-file byte order can differ."""
+    i, j, d = e
+    order = np.lexsort((j, i, d))
+    return i[order], j[order], d[order]
+
+
+def kruskal(e: Edges, n: int, presorted: bool = False) -> Edges:
+    """Minimum spanning forest via Kruskal (reference src/MST.cpp:59-75)."""
+    if not presorted:
+        e = sort_edges(e)
+    i, j, d = e
+    if len(i) == 0:
+        return _empty_edges()
+    uf = UnionFind(n)
+    keep = np.zeros(len(i), dtype=bool)
+    kept = 0
+    find = uf.find
+    parent = uf.parent
+    rank = uf.rank
+    for k in range(len(i)):
+        a, b = i[k], j[k]
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rank[ra] < rank[rb]:
+            ra, rb = rb, ra
+        parent[rb] = ra
+        if rank[ra] == rank[rb]:
+            rank[ra] += 1
+        keep[k] = True
+        kept += 1
+        if kept == n - 1:
+            break
+    return i[keep], j[keep], d[keep]
+
+
+@dataclass
+class MstResult:
+    mst: Edges                          # spanning forest edges, Kruskal order
+    n: int
+    dense: Optional[np.ndarray] = None  # (DENSE_SPAN, n) cumulative counts
+    ani: Optional[np.ndarray] = None    # (101,) histogram of int((1-d)*100)
+
+
+def compute_mst(
+    hashes: List[np.ndarray],
+    threshold: float,
+    kmer_size: int,
+    is_containment: bool = False,
+    start_index: int = 0,
+    with_dense: bool = False,
+    pre_edges: Optional[Edges] = None,
+) -> MstResult:
+    """Full MST over candidate pairs (reference compute_kssd_mst semantics).
+
+    ``pre_edges``: existing MST edges to merge (append mode,
+    src/sub_command.cpp:1450-1457).
+    """
+    n = len(hashes)
+    sizes = np.array([len(h) for h in hashes], dtype=np.int64)
+    radio = size_ratio_limit(threshold, kmer_size - 1)
+
+    dense = np.zeros((DENSE_SPAN, n), dtype=np.int64) if with_dense else None
+    ani = np.zeros(101, dtype=np.int64) if with_dense else None
+
+    partial: List[Edges] = []
+    if pre_edges is not None and len(pre_edges[0]):
+        partial.append(pre_edges)
+    budget = 0
+    for i, j, common in candidate_pair_counts(hashes, start_index=start_index):
+        s0 = sizes[i]
+        s1 = sizes[j]
+        mn = np.minimum(s0, s1)
+        mx = np.maximum(s0, s1)
+        ok = (mn > 0) & (mx <= radio * mn)
+        if not ok.any():
+            continue
+        i, j, common, s0, s1 = i[ok], j[ok], common[ok], s0[ok], s1[ok]
+        if is_containment:
+            d = aaf_distance(common, s0, s1, kmer_size)
+        else:
+            d = mash_distance(common, s0, s1, kmer_size)
+        if with_dense:
+            radii = np.arange(DENSE_SPAN) / DENSE_SPAN
+            t0 = np.searchsorted(radii, d, side="left")  # == std::lower_bound
+            inb = t0 < DENSE_SPAN
+            np.add.at(dense, (t0[inb], i[inb]), 1)
+            np.add.at(dense, (t0[inb], j[inb]), 1)
+            a = np.minimum(((1.0 - d) * 100.0).astype(np.int64), 100)
+            np.add.at(ani, a, 1)
+        partial.append((i, j, d))
+        budget += len(i)
+        if budget > 4 * max(n, 1):
+            # streaming reduction: collapse buffered edges to a partial forest
+            partial = [kruskal(concat_edges(partial), n)]
+            budget = len(partial[0][0])
+
+    mst = kruskal(concat_edges(partial), n)
+    if with_dense:
+        dense = np.cumsum(dense, axis=0)  # cumulative over radius buckets
+    return MstResult(mst=mst, n=n, dense=dense, ani=ani)
+
+
+# ---------------------------------------------------------------------------
+# Forest cut, components, noise
+# ---------------------------------------------------------------------------
+
+def cut_forest(mst: Edges, threshold: float) -> Edges:
+    i, j, d = mst
+    keep = d <= threshold
+    return i[keep], j[keep], d[keep]
+
+
+def clusters_from_forest(forest: Edges, n: int) -> List[List[int]]:
+    """Connected components via BFS, replicating reference member order
+    (src/MST.cpp:109-142): adjacency in forest-edge order, BFS from the
+    lowest unvisited id."""
+    from collections import deque
+
+    adj: List[List[int]] = [[] for _ in range(n)]
+    fi, fj, _ = forest
+    for u, v in zip(fi.tolist(), fj.tolist()):
+        adj[u].append(v)
+        adj[v].append(u)
+    visited = np.zeros(n, dtype=bool)
+    res: List[List[int]] = []
+    for s in range(n):
+        if visited[s]:
+            continue
+        visited[s] = True
+        q = deque([s])
+        comp = [s]
+        while q:
+            k = q.popleft()
+            for v in adj[k]:
+                if visited[v]:
+                    continue
+                visited[v] = True
+                q.append(v)
+                comp.append(v)
+        res.append(comp)
+    return res
+
+
+def get_noise_nodes(dense_row: np.ndarray, alpha: int = 2) -> np.ndarray:
+    """Noise = nodes with density <= min(Q1-1, alpha) (src/MST.cpp:189-211).
+
+    ``dense_row``: per-node neighbor counts at the cluster threshold bucket.
+    """
+    order = np.argsort(dense_row, kind="stable")
+    q1 = int(dense_row[order[len(order) // 4]])
+    thr = max(min(q1 - 1, alpha), 0)
+    return order[dense_row[order] <= thr]
+
+
+def modify_forest(forest: Edges, noise: np.ndarray) -> Edges:
+    i, j, d = forest
+    bad = np.isin(i, noise) | np.isin(j, noise)
+    return i[~bad], j[~bad], d[~bad]

@@ -1,0 +1,83 @@
+"""Common sketch-set container shared by the KSSD and MinHash builders.
+
+A SketchSet is the in-memory unit all engines consume: per-genome sorted hash
+arrays plus genome metadata (reference analogue: vector<KssdSketchInfo> /
+vector<SketchInfo>, src/SketchInfo.h:23-56).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class SketchSet:
+    kind: str                      # "kssd" | "minhash"
+    params: Any                    # KssdParams or MinHashParams
+    sketch_by_file: bool
+    use64: bool
+    file_names: List[str] = field(default_factory=list)
+    names: List[str] = field(default_factory=list)       # first-seq name per genome
+    comments: List[str] = field(default_factory=list)    # first-seq comment
+    seq0_lens: List[int] = field(default_factory=list)   # first-seq length
+    total_lens: List[int] = field(default_factory=list)
+    num_seqs: List[int] = field(default_factory=list)
+    hashes: List[np.ndarray] = field(default_factory=list)  # sorted ascending
+
+    def __len__(self) -> int:
+        return len(self.hashes)
+
+    @property
+    def sizes(self) -> np.ndarray:
+        return np.array([len(h) for h in self.hashes], dtype=np.int64)
+
+    def display_length(self, i: int) -> int:
+        """Length printed in .cluster rows: total genome length in by-file
+        mode, first-sequence length in by-sequence mode
+        (reference src/MST_IO.cpp:105-127)."""
+        return self.total_lens[i] if self.sketch_by_file else self.seq0_lens[i]
+
+    def append_genome(self, *, file_name: str, name: str, comment: str,
+                      seq0_len: int, total_len: int, num_seqs: int,
+                      hashes: np.ndarray) -> int:
+        self.file_names.append(file_name)
+        self.names.append(name)
+        self.comments.append(comment)
+        self.seq0_lens.append(seq0_len)
+        self.total_lens.append(total_len)
+        self.num_seqs.append(num_seqs)
+        self.hashes.append(hashes)
+        return len(self.hashes) - 1
+
+    def reorder(self, order: np.ndarray) -> "SketchSet":
+        """Return a new SketchSet with genomes permuted by ``order``."""
+        out = SketchSet(self.kind, self.params, self.sketch_by_file, self.use64)
+        for i in order:
+            out.append_genome(
+                file_name=self.file_names[i], name=self.names[i],
+                comment=self.comments[i], seq0_len=self.seq0_lens[i],
+                total_len=self.total_lens[i], num_seqs=self.num_seqs[i],
+                hashes=self.hashes[i])
+        return out
+
+    def sort_by_size_desc(self) -> np.ndarray:
+        """Greedy-engine ordering: sketch size descending, id ascending on
+        ties (reference src/greedy.cpp:594-599; ties resolved by id for
+        determinism — the reference's unstable std::sort leaves tie order
+        implementation-defined)."""
+        sizes = self.sizes
+        order = np.lexsort((np.arange(len(self)), -sizes))
+        return order
+
+    def extend(self, other: "SketchSet") -> None:
+        assert self.kind == other.kind and self.use64 == other.use64
+        self.file_names.extend(other.file_names)
+        self.names.extend(other.names)
+        self.comments.extend(other.comments)
+        self.seq0_lens.extend(other.seq0_lens)
+        self.total_lens.extend(other.total_lens)
+        self.num_seqs.extend(other.num_seqs)
+        self.hashes.extend(other.hashes)

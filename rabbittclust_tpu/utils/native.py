@@ -1,0 +1,145 @@
+"""ctypes bindings for the native runtime (native/librtc_native.so).
+
+The native library provides the host-side, string/IO-bound components:
+glibc-rand shuffle table, KSSD/MinHash sketchers, and parallel FASTA ingest.
+If the library is missing we attempt to build it with g++; pure-NumPy
+fallbacks exist for everything (slower, used in restricted environments).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "librtc_native.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "rtc_native.cpp")
+
+_c_u64p = ctypes.POINTER(ctypes.c_uint64)
+_c_i64p = ctypes.POINTER(ctypes.c_int64)
+_c_i32p = ctypes.POINTER(ctypes.c_int32)
+_c_u32p = ctypes.POINTER(ctypes.c_uint32)
+
+
+def _try_build() -> bool:
+    if not os.path.exists(_SRC_PATH):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+             "-o", _LIB_PATH, _SRC_PATH, "-lz"],
+            check=True, capture_output=True, timeout=300,
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+@lru_cache(maxsize=1)
+def load_native():
+    """Load (building if needed) the native library; None if unavailable."""
+    if not os.path.exists(_LIB_PATH) and not _try_build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    # signatures
+    lib.rtc_version.restype = ctypes.c_int
+    lib.rtc_glibc_rand_stream.argtypes = [ctypes.c_uint32, ctypes.c_int64, _c_u32p]
+    lib.rtc_fisher_yates.argtypes = [_c_i32p, ctypes.c_int64, ctypes.c_uint32]
+    lib.rtc_generate_shuffle_dim.argtypes = [ctypes.c_int, _c_i32p]
+    lib.rtc_sketch_files.restype = ctypes.c_void_p
+    lib.rtc_sketch_files.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        _c_i32p, ctypes.c_int,
+    ]
+    lib.rtc_sketch_sequences.restype = ctypes.c_void_p
+    lib.rtc_sketch_sequences.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, _c_i32p, ctypes.c_int,
+    ]
+    lib.rtc_sketch_files_minhash_contain.restype = ctypes.c_void_p
+    lib.rtc_sketch_files_minhash_contain.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.rtc_result_count.restype = ctypes.c_int64
+    lib.rtc_result_count.argtypes = [ctypes.c_void_p]
+    for fn in ("rtc_result_ok",):
+        getattr(lib, fn).restype = ctypes.c_int32
+        getattr(lib, fn).argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    for fn in ("rtc_result_total_len", "rtc_result_seq0_len",
+               "rtc_result_num_seqs", "rtc_result_sketch_size"):
+        getattr(lib, fn).restype = ctypes.c_int64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.rtc_result_hashes.argtypes = [ctypes.c_void_p, ctypes.c_int64, _c_u64p]
+    for fn in ("rtc_result_name", "rtc_result_comment", "rtc_result_file"):
+        getattr(lib, fn).restype = ctypes.c_char_p
+        getattr(lib, fn).argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.rtc_result_free.argtypes = [ctypes.c_void_p]
+    lib.rtc_kssd_create.restype = ctypes.c_void_p
+    lib.rtc_kssd_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int, _c_i32p]
+    lib.rtc_kssd_reset.argtypes = [ctypes.c_void_p]
+    lib.rtc_kssd_update.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
+    lib.rtc_kssd_size.restype = ctypes.c_int64
+    lib.rtc_kssd_size.argtypes = [ctypes.c_void_p]
+    lib.rtc_kssd_extract.argtypes = [ctypes.c_void_p, _c_u64p]
+    lib.rtc_kssd_destroy.argtypes = [ctypes.c_void_p]
+    lib.rtc_scan_lengths.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, _c_i64p, ctypes.c_int]
+    return lib
+
+
+def have_native() -> bool:
+    return load_native() is not None
+
+
+def make_file_array(files):
+    arr = (ctypes.c_char_p * len(files))()
+    keep = [os.fsencode(f) for f in files]
+    for i, b in enumerate(keep):
+        arr[i] = b
+    return arr, keep
+
+
+class SketchResultHandle:
+    """RAII wrapper over a native SketchResult*."""
+
+    def __init__(self, lib, ptr):
+        self._lib = lib
+        self._ptr = ptr
+
+    def __len__(self):
+        return int(self._lib.rtc_result_count(self._ptr))
+
+    def genome(self, i: int):
+        lib, p = self._lib, self._ptr
+        n = int(lib.rtc_result_sketch_size(p, i))
+        hashes = np.empty(n, dtype=np.uint64)
+        if n:
+            lib.rtc_result_hashes(p, i, hashes.ctypes.data_as(_c_u64p))
+        return {
+            "ok": bool(lib.rtc_result_ok(p, i)),
+            "file": os.fsdecode(lib.rtc_result_file(p, i) or b""),
+            "name": (lib.rtc_result_name(p, i) or b"").decode("utf-8", "replace"),
+            "comment": (lib.rtc_result_comment(p, i) or b"").decode("utf-8", "replace"),
+            "seq0_len": int(lib.rtc_result_seq0_len(p, i)),
+            "total_len": int(lib.rtc_result_total_len(p, i)),
+            "num_seqs": int(lib.rtc_result_num_seqs(p, i)),
+            "hashes": hashes,
+        }
+
+    def __del__(self):
+        try:
+            if self._ptr:
+                self._lib.rtc_result_free(self._ptr)
+                self._ptr = None
+        except Exception:
+            pass
