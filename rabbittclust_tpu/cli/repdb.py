@@ -1,0 +1,199 @@
+"""RepDB verb dispatch (--db --build/--query/--assign/--append/--stats).
+
+Output TSV formats match the reference exactly
+(sub_command.cpp:337-450 query/assign writers).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from .. import workflows as wf
+from ..io.fasta import read_file_list
+from ..sketch.kssd import sketch_files_kssd, sketch_sequences_kssd
+from ..state.greedy_state import KssdClusterState
+
+
+def _sketch_queries(args, kmer_size: int, drlevel: int):
+    if args.sketch_by_file:
+        files = read_file_list(args.input)
+        ss, _ = sketch_files_kssd(files, args.min_len, kmer_size, drlevel,
+                                  args.threads)
+    else:
+        ss, _ = sketch_sequences_kssd(args.input, args.min_len, kmer_size,
+                                      drlevel, args.threads)
+    return ss
+
+
+def _query_name(ss, i: int) -> str:
+    name = ss.file_names[i] if ss.sketch_by_file else ss.names[i]
+    return name or f"query_{i}"
+
+
+def write_query_tsv(state, ss, output_file: str, topk: int) -> None:
+    with open(output_file, "w") as fp:
+        fp.write("#query\trank\trep_name\tdistance\tcluster_id\t"
+                 "cluster_size\n")
+        for i in range(len(ss)):
+            results = state.query_topk(ss.hashes[i], topk)
+            qname = _query_name(ss, i)
+            if not results:
+                fp.write(f"{qname}\t0\tno_match\t-1\t-1\t0\n")
+            else:
+                for r, res in enumerate(results):
+                    fp.write(f"{qname}\t{r + 1}\t{res['genome_name']}\t"
+                             f"{res['distance']:.6f}\t{res['cluster_id']}\t"
+                             f"{res['cluster_size']}\n")
+
+
+def write_assign_tsv(state, ss, output_file: str) -> None:
+    assigned = unassigned = 0
+    with open(output_file, "w") as fp:
+        fp.write("#query\tassigned_cluster\trep_name\tdistance\t"
+                 "cluster_size\tstatus\n")
+        for i in range(len(ss)):
+            res = state.assign(ss.hashes[i])
+            qname = _query_name(ss, i)
+            if res["rep_idx"] >= 0:
+                fp.write(f"{qname}\t{res['cluster_id']}\t"
+                         f"{res['genome_name']}\t{res['distance']:.6f}\t"
+                         f"{res['cluster_size']}\tassigned\n")
+                assigned += 1
+            else:
+                fp.write(f"{qname}\t-1\tunassigned\t-1\t0\tnovel\n")
+                unassigned += 1
+    print(f"  Assigned: {assigned}  Novel: {unassigned}", file=sys.stderr)
+
+
+def _build_state_from_sketchset(ss, p, threshold: float) -> KssdClusterState:
+    from ..cluster.greedy import greedy_cluster
+    order = ss.sort_by_size_desc()
+    ss2 = ss.reorder(order)
+    gres = greedy_cluster(ss2.hashes, threshold, p.kmer_size, presorted=True)
+    return KssdClusterState.from_clustering(ss2, p, gres, threshold), ss2
+
+
+def run_greedy_repdb(args, opts) -> int:
+    """KSSD (--fast) and MinHash greedy RepDB verbs."""
+    db = args.repdb_path
+    if args.repdb_stats:
+        st = KssdClusterState.load_repdb(db)
+        st.print_stats(sys.stdout)
+        return 0
+    if args.repdb_build:
+        threshold = args.threshold
+        if args.presketched:
+            from ..state.sketch_io import load_kssd_sketches
+            ss, p = load_kssd_sketches(args.presketched)
+        elif args.input:
+            kmer = args.kmer_size or 19
+            if args.sketch_by_file:
+                ss, p = sketch_files_kssd(read_file_list(args.input),
+                                          args.min_len, kmer, args.drlevel,
+                                          args.threads)
+            else:
+                ss, p = sketch_sequences_kssd(args.input, args.min_len, kmer,
+                                              args.drlevel, args.threads)
+        else:
+            print("ERROR: --build requires --presketched <folder> or -i "
+                  "<genome_list> -l", file=sys.stderr)
+            return 1
+        state, ss2 = _build_state_from_sketchset(ss, p, threshold)
+        state.save_repdb(db)
+        if args.output:
+            from ..state.cluster_io import write_cluster_file
+            write_cluster_file(args.output, state.clusters, ss2, threshold)
+        return 0
+    if args.repdb_query:
+        if not args.input:
+            print("ERROR: --query requires -i <input_file>", file=sys.stderr)
+            return 1
+        state = KssdClusterState.load_repdb(db)
+        ss = _sketch_queries(args, state.kmer_size, state.params.drlevel)
+        write_query_tsv(state, ss, args.output, args.topk)
+        return 0
+    if args.repdb_assign:
+        if not args.input:
+            print("ERROR: --assign requires -i <input_file>", file=sys.stderr)
+            return 1
+        state = KssdClusterState.load_repdb(db)
+        ss = _sketch_queries(args, state.kmer_size, state.params.drlevel)
+        write_assign_tsv(state, ss, args.output)
+        return 0
+    if args.append:
+        state = KssdClusterState.load_repdb(db)
+        args.input = args.append
+        ss = _sketch_queries(args, state.kmer_size, state.params.drlevel)
+        state.incremental_cluster(ss)
+        state.save_repdb(db)
+        if args.output:
+            state.write_cluster_result(args.output)
+        return 0
+    print("ERROR: --db requires one of: --build, --query, --assign, "
+          "--append, --stats", file=sys.stderr)
+    return 1
+
+
+def run_mst_repdb(args, opts) -> int:
+    """MST RepDB verbs over the tree-medoid state (mst_state)."""
+    from ..state.mst_state import MstState
+    db = args.repdb_path
+    if args.repdb_stats:
+        st = MstState.load(db)
+        st.print_stats(sys.stdout)
+        return 0
+    if args.repdb_build:
+        from ..cluster.mst import compute_mst, cut_forest, clusters_from_forest
+        if args.presketched:
+            from ..state.sketch_io import load_kssd_sketches
+            ss, p = load_kssd_sketches(args.presketched)
+        elif args.input:
+            kmer = args.kmer_size or 21
+            if args.sketch_by_file:
+                ss, p = sketch_files_kssd(read_file_list(args.input),
+                                          args.min_len, kmer, args.drlevel,
+                                          args.threads)
+            else:
+                ss, p = sketch_sequences_kssd(args.input, args.min_len, kmer,
+                                              args.drlevel, args.threads)
+        else:
+            print("ERROR: --build requires --presketched <folder> or -i "
+                  "<genome_list> -l", file=sys.stderr)
+            return 1
+        res = compute_mst(ss.hashes, args.threshold, p.kmer_size,
+                          is_containment=args.contain_compress is not None)
+        clusters = clusters_from_forest(cut_forest(res.mst, args.threshold),
+                                        len(ss))
+        from ..state.mst_state import KssdMstState
+        st = KssdMstState.from_clustering(ss, p, res.mst, clusters,
+                                          args.threshold)
+        st.save(db)
+        if args.output:
+            from ..state.cluster_io import write_cluster_file
+            write_cluster_file(args.output, clusters, ss, args.threshold)
+        return 0
+    if args.repdb_query or args.repdb_assign:
+        if not args.input:
+            print("ERROR: --query/--assign requires -i <input_file>",
+                  file=sys.stderr)
+            return 1
+        st = MstState.load(db)
+        ss = _sketch_queries(args, st.kmer_size, st.drlevel)
+        if args.repdb_query:
+            write_query_tsv(st, ss, args.output, args.topk)
+        else:
+            write_assign_tsv(st, ss, args.output)
+        return 0
+    if args.append:
+        st = MstState.load(db)
+        args.input = args.append
+        ss = _sketch_queries(args, st.kmer_size, st.drlevel)
+        live = st.append_cluster(ss)
+        st.save(db)
+        if args.output:
+            st.write_cluster_result(live, args.output, st.threshold)
+        return 0
+    print("ERROR: --db requires one of: --build, --query, --assign, "
+          "--append, --stats", file=sys.stderr)
+    return 1

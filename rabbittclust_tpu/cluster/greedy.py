@@ -1,0 +1,180 @@
+"""Greedy incremental clustering (clust-greedy engine).
+
+Re-derivation of the reference flagship algorithm
+``KssdGreedyClusterWithInvertedIndex`` (src/greedy.cpp:566-899):
+
+  1. sort genomes by sketch size descending (CD-HIT convention);
+  2. serial outer loop; the first genome seeds cluster 0;
+  3. probe a representative-only inverted index for intersection counts;
+  4. candidate filter: common >= ceil(j_min*(|A|+|B|)/(1+j_min)) with
+     j_min = e^{-dk}/(2-e^{-dk});
+  5. best match = max Jaccard (monotone in Mash distance; ties resolved by
+     first touch order, matching the reference's single-thread semantics);
+  6. assign to the best rep's cluster, else become a new representative;
+  7. monotonic pruning: evict reps larger than min_seen/(j_min*0.8) every
+     100K (datasets < 500K) or 1M genomes — they can never match again.
+
+Clusters are reported in representative-creation order with the
+representative first (src/greedy.cpp:854-867).  Output ids refer to the
+*sorted* order; callers keep the permutation to map back.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..distance.mash import min_jaccard_for_threshold
+
+
+class RepInvertedIndex:
+    """Dynamic hash -> [rep_id] index over representatives only
+    (reference DynamicInvertedIndex, src/greedy.cpp:361-520)."""
+
+    def __init__(self):
+        self.index: Dict[int, List[int]] = {}
+        self.reps: set = set()
+        self.min_query_size_seen: int = 1 << 62
+
+    def add_representative(self, rep_id: int, hashes: np.ndarray) -> None:
+        self.reps.add(rep_id)
+        idx = self.index
+        for h in hashes.tolist():
+            lst = idx.get(h)
+            if lst is None:
+                idx[h] = [rep_id]
+            else:
+                lst.append(rep_id)
+
+    def probe(self, hashes: np.ndarray):
+        """Intersection counts with every rep sharing >= 1 hash.
+        Returns (touched_rep_ids, counts) in first-touch order."""
+        idx = self.index
+        cnt: Dict[int, int] = {}
+        for h in hashes.tolist():
+            lst = idx.get(h)
+            if lst is None:
+                continue
+            for r in lst:
+                cnt[r] = cnt.get(r, 0) + 1
+        # Python dicts preserve insertion (first-touch) order.
+        return list(cnt.keys()), list(cnt.values())
+
+    def prune_too_large_monotonic(self, current_size: int, j_min: float,
+                                  sizes: np.ndarray) -> int:
+        """Evict reps that can never match future (smaller) genomes
+        (src/greedy.cpp:407-477)."""
+        self.min_query_size_seen = min(self.min_query_size_seen, current_size)
+        max_acceptable = int(self.min_query_size_seen / (j_min * 0.8))
+        to_remove = [r for r in self.reps if sizes[r] > max_acceptable]
+        if not to_remove:
+            return 0
+        removed = set(to_remove)
+        self.reps -= removed
+        for h, lst in list(self.index.items()):
+            kept = [r for r in lst if r not in removed]
+            if kept:
+                self.index[h] = kept
+            else:
+                del self.index[h]
+        return len(to_remove)
+
+
+@dataclass
+class GreedyResult:
+    clusters: List[List[int]]       # in original (input) genome ids
+    representatives: List[int]      # original ids, one per cluster
+    order: np.ndarray               # size-desc permutation used internally
+
+
+def greedy_cluster(
+    hashes: List[np.ndarray],
+    threshold: float,
+    kmer_size: int,
+    presorted: bool = False,
+    is_containment: bool = False,
+    progress: bool = False,
+) -> GreedyResult:
+    """Greedy incremental clustering over sketch hash arrays.
+
+    With ``presorted=False`` the size-descending sort (ties by id) is applied
+    internally and results are mapped back to original ids; the reference
+    instead sorts its sketch vector in place and reports sorted ids — the
+    orchestration layer reorders the SketchSet first and passes
+    ``presorted=True`` to reproduce that numbering.
+
+    ``is_containment`` switches the similarity to the AAF containment
+    coefficient c = common/min(|A|,|B|) with bound common >= ceil(c_min *
+    min sizes), c_min = e^{-dk} (MinHash -c mode; reference
+    MinHashGreedyClusterWithInvertedIndex).
+    """
+    n = len(hashes)
+    if n == 0:
+        return GreedyResult([], [], np.empty(0, dtype=np.int64))
+    if presorted:
+        order = np.arange(n, dtype=np.int64)
+        inv = list(hashes)
+    else:
+        sizes0 = np.array([len(h) for h in hashes], dtype=np.int64)
+        order = np.lexsort((np.arange(n), -sizes0))
+        inv = [hashes[i] for i in order]
+    sizes = np.array([len(h) for h in inv], dtype=np.int64)
+
+    j_min = min_jaccard_for_threshold(threshold, kmer_size)
+    c_min = math.exp(-threshold * kmer_size)
+    prune_interval = 100_000 if n < 500_000 else 1_000_000
+
+    index = RepInvertedIndex()
+    representatives = [0]
+    rep2cid = {0: 0}
+    members: List[List[int]] = [[]]
+    index.add_representative(0, inv[0])
+
+    for j in range(1, n):
+        size_ref = int(sizes[j])
+        if j >= prune_interval and j % prune_interval == 0:
+            index.prune_too_large_monotonic(size_ref, j_min, sizes)
+
+        touched, counts = index.probe(inv[j])
+
+        best_sim = -1.0
+        best_rep = -1
+        for rep_id, common in zip(touched, counts):
+            size_qry = int(sizes[rep_id])
+            if is_containment:
+                mn = min(size_ref, size_qry)
+                if common < math.ceil(c_min * mn):
+                    continue
+                sim = 1.0 if mn == 0 else common / mn
+            else:
+                common_min = math.ceil(
+                    j_min * (size_ref + size_qry) / (1.0 + j_min))
+                if common < common_min:
+                    continue
+                denom = size_ref + size_qry - common
+                sim = 1.0 if denom == 0 else common / denom
+            if sim > best_sim:  # strict: first-touch wins ties
+                best_sim = sim
+                best_rep = rep_id
+
+        if best_rep != -1:
+            members[rep2cid[best_rep]].append(j)
+        else:
+            rep2cid[j] = len(representatives)
+            representatives.append(j)
+            members.append([])
+            index.add_representative(j, inv[j])
+
+        if progress and (j % 10000 == 0 or j == n - 1):
+            print(f"Progress: {j}/{n} | Reps: {len(representatives)}",
+                  file=sys.stderr)
+
+    clusters = []
+    for cid, rep in enumerate(representatives):
+        clusters.append([int(order[rep])] + [int(order[m]) for m in members[cid]])
+    reps_orig = [int(order[r]) for r in representatives]
+    return GreedyResult(clusters=clusters, representatives=reps_orig, order=order)

@@ -1,0 +1,56 @@
+"""Greedy engine: recovery, determinism, bounds, containment mode."""
+
+import numpy as np
+import pytest
+
+from rabbittclust_tpu.cluster.greedy import greedy_cluster
+from rabbittclust_tpu.sketch.kssd import sketch_files_kssd
+from tests.helpers import clusters_to_labels, same_partition
+
+
+def test_greedy_recovery(synthetic_genomes):
+    ss, p = sketch_files_kssd(synthetic_genomes.files, min_len=1000,
+                              kmer_size=19, drlevel=2)
+    res = greedy_cluster(ss.hashes, 0.05, p.kmer_size)
+    labels = clusters_to_labels(res.clusters, len(ss))
+    assert same_partition(labels, synthetic_genomes.labels)
+    # representative is the first member of each cluster
+    for cl, rep in zip(res.clusters, res.representatives):
+        assert cl[0] == rep
+
+
+def test_greedy_first_genome_seeds_cluster0(synthetic_genomes):
+    ss, p = sketch_files_kssd(synthetic_genomes.files, min_len=1000,
+                              kmer_size=19, drlevel=2)
+    res = greedy_cluster(ss.hashes, 0.05, p.kmer_size)
+    # cluster 0's rep must be the largest sketch (size-desc order)
+    sizes = ss.sizes
+    assert sizes[res.representatives[0]] == sizes.max()
+
+
+def test_greedy_zero_threshold_singletons(synthetic_genomes):
+    ss, p = sketch_files_kssd(synthetic_genomes.files, min_len=1000,
+                              kmer_size=19, drlevel=2)
+    res = greedy_cluster(ss.hashes, 1e-9, p.kmer_size)
+    # mutated copies are not identical -> all singletons
+    assert len(res.clusters) == len(ss)
+
+
+def test_greedy_presorted_matches_unsorted(synthetic_genomes):
+    ss, p = sketch_files_kssd(synthetic_genomes.files, min_len=1000,
+                              kmer_size=19, drlevel=2)
+    r1 = greedy_cluster(ss.hashes, 0.05, p.kmer_size)
+    order = ss.sort_by_size_desc()
+    ss2 = ss.reorder(order)
+    r2 = greedy_cluster(ss2.hashes, 0.05, p.kmer_size, presorted=True)
+    # map r2 (sorted ids) back to original ids
+    mapped = [[int(order[g]) for g in cl] for cl in r2.clusters]
+    assert [sorted(c) for c in mapped] == [sorted(c) for c in r1.clusters]
+
+
+def test_greedy_containment_mode(synthetic_genomes):
+    ss, p = sketch_files_kssd(synthetic_genomes.files, min_len=1000,
+                              kmer_size=19, drlevel=2)
+    res = greedy_cluster(ss.hashes, 0.05, p.kmer_size, is_containment=True)
+    labels = clusters_to_labels(res.clusters, len(ss))
+    assert same_partition(labels, synthetic_genomes.labels)
