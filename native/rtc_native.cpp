@@ -767,6 +767,49 @@ void rtc_kssd_extract(void* s, uint64_t* out) {
 }
 void rtc_kssd_destroy(void* s) { delete (KssdSketcher*)s; }
 
+// ---- exact pair verification (two-pointer over CSR sketch store) ----------
+// Used by the MXU-filter + exact-verify pipeline and by host engines.
+
+void rtc_count_common_u32(const uint32_t* flat, const int64_t* offs,
+                          const int32_t* ii, const int32_t* jj,
+                          int64_t npairs, int32_t* out, int threads) {
+#pragma omp parallel for schedule(static) num_threads(threads)
+  for (int64_t p = 0; p < npairs; ++p) {
+    const uint32_t* a = flat + offs[ii[p]];
+    const uint32_t* ae = flat + offs[ii[p] + 1];
+    const uint32_t* b = flat + offs[jj[p]];
+    const uint32_t* be = flat + offs[jj[p] + 1];
+    int32_t c = 0;
+    while (a < ae && b < be) {
+      uint32_t x = *a, y = *b;
+      c += (x == y);
+      a += (x <= y);
+      b += (y <= x);
+    }
+    out[p] = c;
+  }
+}
+
+void rtc_count_common_u64(const uint64_t* flat, const int64_t* offs,
+                          const int32_t* ii, const int32_t* jj,
+                          int64_t npairs, int32_t* out, int threads) {
+#pragma omp parallel for schedule(static) num_threads(threads)
+  for (int64_t p = 0; p < npairs; ++p) {
+    const uint64_t* a = flat + offs[ii[p]];
+    const uint64_t* ae = flat + offs[ii[p] + 1];
+    const uint64_t* b = flat + offs[jj[p]];
+    const uint64_t* be = flat + offs[jj[p] + 1];
+    int32_t c = 0;
+    while (a < ae && b < be) {
+      uint64_t x = *a, y = *b;
+      c += (x == y);
+      a += (x <= y);
+      b += (y <= x);
+    }
+    out[p] = c;
+  }
+}
+
 // ---- file size pre-scan (calSize equivalent: parse for true lengths) ------
 
 void rtc_scan_lengths(const char** files, int64_t nfiles, int64_t* out_len,

@@ -44,64 +44,59 @@ def candidate_pair_counts(
     start_index: int = 0,
     pair_chunk: int = 1 << 26,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Yield (i, j, common) chunks over all genome pairs sharing >= 1 hash.
+    """Yield (i, j, common) over all genome pairs sharing >= 1 hash.
 
-    i < j always; with ``start_index`` > 0, only pairs whose larger id is a
-    new genome (j >= start_index) are produced — the append-mode semantics of
-    the reference (src/MST.cpp:394-400).
+    Always i < j.  With ``start_index`` > 0, only pairs whose larger id is a
+    new genome (j >= start_index) are produced — the append-mode semantics
+    of the reference (src/MST.cpp:394-400).
+
+    Counts are *row-block complete*: a pair (i, j) is emitted exactly once,
+    with its full count, when genome j's row block is processed (all shared
+    hashes of the pair contribute in the same pass).  Blocks are sized so
+    the expanded pair-instance buffer stays under ``pair_chunk`` entries.
     """
     n = len(hashes)
     if n < 2:
         return
     hv, gid = flatten_sketches(hashes)
     order = np.argsort(hv, kind="stable")  # stable => gid ascending within run
+    gid_s = gid[order].astype(np.int64)
     hv_s = hv[order]
-    gid_s = gid[order]
-    starts = np.flatnonzero(np.r_[True, hv_s[1:] != hv_s[:-1]])
-    lens = np.diff(np.r_[starts, len(hv_s)]).astype(np.int64)
-    multi = lens >= 2
-    starts, lens = starts[multi], lens[multi]
-    if len(starts) == 0:
-        return
+    boundaries = np.r_[True, hv_s[1:] != hv_s[:-1]]
+    run_id = np.cumsum(boundaries) - 1
+    starts = np.flatnonzero(boundaries)
+    run_start = starts[run_id]                       # per position
+    # pairs contributed by each position: all earlier members of its run
+    # (gid ascending in a run, sketches deduplicated -> earlier == smaller id)
+    count_p = np.arange(len(gid_s), dtype=np.int64) - run_start
+    del hv, gid, hv_s, boundaries, run_id
 
-    # group runs by identical length; expand pairs with precomputed triu maps
-    key_buf: List[np.ndarray] = []
-    buffered = 0
-
-    def _flush():
-        nonlocal key_buf, buffered
-        if not key_buf:
-            return None
-        keys = np.concatenate(key_buf)
-        key_buf = []
-        buffered = 0
-        uk, counts = np.unique(keys, return_counts=True)
-        i = (uk // n).astype(np.int64)
-        j = (uk % n).astype(np.int64)
-        return i, j, counts.astype(np.int64)
-
-    for L in np.unique(lens):
-        runs = starts[lens == L]
-        iu0, iu1 = np.triu_indices(int(L), k=1)
-        # gather the gid matrix for all runs of this length
-        idx = runs[:, None] + np.arange(int(L))[None, :]
-        g = gid_s[idx]                        # (nruns, L), ascending per row
-        a = g[:, iu0].ravel().astype(np.int64)
-        b = g[:, iu1].ravel().astype(np.int64)
-        if start_index > 0:
-            keep = b >= start_index
-            a, b = a[keep], b[keep]
-        if len(a) == 0:
+    # per-genome instance totals -> adaptive row blocks under pair_chunk
+    per_genome = np.zeros(n, dtype=np.int64)
+    np.add.at(per_genome, gid_s, count_p)
+    j0 = start_index
+    while j0 < n:
+        j1 = j0 + 1
+        budget = per_genome[j0]
+        while j1 < n and budget + per_genome[j1] <= pair_chunk:
+            budget += per_genome[j1]
+            j1 += 1
+        sel = np.flatnonzero((gid_s >= j0) & (gid_s < j1) & (count_p > 0))
+        if len(sel) == 0:
+            j0 = j1
             continue
-        key_buf.append(a * n + b)
-        buffered += len(a)
-        if buffered >= pair_chunk:
-            out = _flush()
-            if out is not None:
-                yield out
-    out = _flush()
-    if out is not None:
-        yield out
+        cnt = count_p[sel]
+        total = int(cnt.sum())
+        j_arr = np.repeat(gid_s[sel], cnt)
+        base = np.repeat(run_start[sel], cnt)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        i_arr = gid_s[base + offs]               # smaller ids within run
+        keys = i_arr * n + j_arr
+        uk, counts = np.unique(keys, return_counts=True)
+        yield ((uk // n).astype(np.int64), (uk % n).astype(np.int64),
+               counts.astype(np.int64))
+        j0 = j1
 
 
 # ---------------------------------------------------------------------------

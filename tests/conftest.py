@@ -1,12 +1,15 @@
 import os
 
-# Multi-device tests run on a virtual CPU mesh; must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    (os.environ.get("XLA_FLAGS", "") +
-     " --xla_force_host_platform_device_count=8").strip(),
-)
+# Multi-device tests run on a virtual CPU mesh; must be set before jax init.
+# The environment's axon sitecustomize registers the TPU platform at
+# interpreter start, so JAX_PLATFORMS env alone is not enough — override the
+# config explicitly.
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import random
 

@@ -1,0 +1,180 @@
+"""Device pair engine: packing exactness, kernels, bitmap filter, multichip."""
+
+import numpy as np
+import pytest
+
+from rabbittclust_tpu.ops.pack import pack_sketches
+from rabbittclust_tpu.ops.intersect import pair_counts_row
+from rabbittclust_tpu.ops.bitmap import (
+    candidate_pairs_threshold,
+    exact_common_counts,
+    pack_bitmaps,
+)
+
+
+def _rand_sketches(rng, n, lo, hi, bits=28, use64=False):
+    dt = np.uint64 if use64 else np.uint32
+    return [np.unique(rng.integers(0, 2 ** bits,
+                                   size=rng.integers(lo, hi)).astype(dt))
+            for _ in range(n)]
+
+
+def brute(a, b):
+    return len(np.intersect1d(a, b, assume_unique=True))
+
+
+def test_pack_roundtrip_32():
+    rng = np.random.default_rng(0)
+    hashes = _rand_sketches(rng, 20, 30, 120)
+    p = pack_sketches(hashes, use64=False, pad_n_to=8)
+    # every real value present exactly once, pads have top bit set
+    for g, h in enumerate(hashes):
+        real = p.plane0[g][(p.plane0[g] & 0x80000000) == 0]
+        assert len(real) == len(h)
+    assert p.sizes[: len(hashes)].tolist() == [len(h) for h in hashes]
+
+
+def test_pair_counts_exact_32_and_64():
+    rng = np.random.default_rng(1)
+    for use64 in (False, True):
+        hashes = _rand_sketches(rng, 24, 40, 150, bits=50 if use64 else 28,
+                                use64=use64)
+        packed = pack_sketches(hashes, use64=use64, pad_n_to=8)
+        block = packed.row_block(0, 16)
+        counts = np.asarray(pair_counts_row(block, packed, gj_tile=8,
+                                            backend="jnp"))
+        for i in range(16):
+            for j in range(24):
+                if i == j:
+                    continue
+                assert counts[i, j] == brute(hashes[i], hashes[j]), (use64, i, j)
+
+
+def test_pallas_interpret_matches_jnp():
+    rng = np.random.default_rng(2)
+    hashes = _rand_sketches(rng, 16, 40, 100)
+    packed = pack_sketches(hashes, use64=False, pad_n_to=8)
+    block = packed.row_block(0, 8)
+    c1 = np.asarray(pair_counts_row(block, packed, gj_tile=8, backend="jnp"))
+    c2 = np.asarray(pair_counts_row(block, packed, gj_tile=8,
+                                    backend="interpret"))
+    assert np.array_equal(c1, c2)
+
+
+def test_device_mst_matches_host(synthetic_genomes):
+    from rabbittclust_tpu.sketch.kssd import sketch_files_kssd
+    from rabbittclust_tpu.ops.engine import compute_mst_device
+    from rabbittclust_tpu.cluster.mst import (
+        compute_mst, cut_forest, clusters_from_forest)
+    ss, p = sketch_files_kssd(synthetic_genomes.files, min_len=1000,
+                              kmer_size=19, drlevel=2)
+    res_d = compute_mst_device(ss.hashes, 0.05, p.kmer_size, backend="jnp",
+                               row_tile=8, col_tile=8, with_dense=True)
+    res_h = compute_mst(ss.hashes, 0.05, p.kmer_size, with_dense=True)
+    cd = clusters_from_forest(cut_forest(res_d.mst, 0.05), len(ss))
+    ch = clusters_from_forest(cut_forest(res_h.mst, 0.05), len(ss))
+    assert cd == ch
+    # engines orient pairs differently (host: i<j, device: row>col);
+    # compare unordered edge sets
+    ed = sorted((min(a, b), max(a, b)) for a, b in zip(*res_d.mst[:2]))
+    eh = sorted((min(a, b), max(a, b)) for a, b in zip(*res_h.mst[:2]))
+    assert ed == eh
+    assert np.array_equal(res_d.dense, res_h.dense)
+    assert np.array_equal(res_d.ani, res_h.ani)
+
+
+def test_bitmap_filter_safe_and_exact():
+    """Bitmap candidates must be a superset of all threshold pairs and the
+    verified counts exact."""
+    rng = np.random.default_rng(3)
+    base = np.unique(rng.integers(0, 2 ** 28, size=300).astype(np.uint32))
+    hashes = []
+    for i in range(64):
+        keep = base[rng.random(len(base)) < 0.75]
+        extra = np.unique(rng.integers(0, 2 ** 28, size=120).astype(np.uint32))
+        hashes.append(np.unique(np.concatenate([keep, extra])))
+    threshold, k = 0.05, 21
+    ii, jj, common = candidate_pairs_threshold(hashes, threshold, k,
+                                               bits=2048, row_block=64)
+    got = {(int(a), int(b)): int(c) for a, b, c in zip(jj, ii, common)}
+    # exactness of verified counts
+    for (a, b), c in got.items():
+        assert c == brute(hashes[a], hashes[b])
+    # safety: every pair at distance <= threshold must be present
+    from rabbittclust_tpu.distance.mash import (
+        mash_distance, size_ratio_limit)
+    radio = size_ratio_limit(threshold, k - 1)
+    for a in range(64):
+        for b in range(a):
+            c = brute(hashes[a], hashes[b])
+            if c == 0:
+                continue
+            sa, sb = len(hashes[a]), len(hashes[b])
+            if max(sa, sb) > radio * min(sa, sb):
+                continue
+            d = mash_distance(np.array([c]), np.array([sa]),
+                              np.array([sb]), k)[0]
+            if d <= threshold:
+                assert (a, b) in got or (b, a) in got, (a, b, c, d)
+
+
+def test_exact_common_counts_native_vs_numpy():
+    rng = np.random.default_rng(4)
+    for use64 in (False, True):
+        hashes = _rand_sketches(rng, 30, 20, 200, bits=50 if use64 else 28,
+                                use64=use64)
+        ii = rng.integers(0, 30, size=100).astype(np.int64)
+        jj = rng.integers(0, 30, size=100).astype(np.int64)
+        got = exact_common_counts(hashes, ii, jj)
+        for p in range(100):
+            assert got[p] == brute(hashes[ii[p]], hashes[jj[p]])
+
+
+def test_candidate_counts_chunk_split_regression():
+    """Pairs sharing many hashes must not have counts split across chunk
+    flushes (bug found at 8k genomes: distances silently inflated)."""
+    from rabbittclust_tpu.cluster.mst import candidate_pair_counts
+    rng = np.random.default_rng(5)
+    base = np.unique(rng.integers(0, 2 ** 28, size=200).astype(np.uint32))
+    hashes = [base.copy() for _ in range(20)]  # all identical: runs of 20
+    seen = {}
+    # tiny pair_chunk forces many flushes
+    for i, j, c in candidate_pair_counts(hashes, pair_chunk=64):
+        for a, b, cc in zip(i, j, c):
+            key = (int(a), int(b))
+            assert key not in seen, f"pair {key} emitted twice"
+            seen[key] = int(cc)
+    assert len(seen) == 20 * 19 // 2
+    assert all(v == len(base) for v in seen.values())
+
+
+def test_multichip_ring(synthetic_genomes):
+    """Full ring over the 8-device CPU mesh: candidate count matches the
+    host engine's thresholded edge count."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rabbittclust_tpu.sketch.kssd import sketch_files_kssd
+    from rabbittclust_tpu.parallel.dist_engine import (
+        distributed_candidate_stats, make_mesh)
+    from rabbittclust_tpu.cluster.mst import candidate_pair_counts
+    from rabbittclust_tpu.distance.mash import (
+        mash_distance, size_ratio_limit)
+    ss, p = sketch_files_kssd(synthetic_genomes.files[:16], min_len=1000,
+                              kmer_size=19, drlevel=2)
+    packed = pack_sketches(ss.hashes, use64=False, pad_n_to=16)
+    mesh = make_mesh(8)
+    total, min_d = distributed_candidate_stats(
+        packed.plane0[:16], packed.sizes[:16], 0.05, p.kmer_size, mesh=mesh)
+    # host reference count
+    sizes = np.array([len(h) for h in ss.hashes], dtype=np.int64)
+    radio = size_ratio_limit(0.05, p.kmer_size - 1)
+    expect = 0
+    for i, j, c in candidate_pair_counts(ss.hashes):
+        s0, s1 = sizes[i], sizes[j]
+        ok = (np.minimum(s0, s1) > 0) & \
+            (np.maximum(s0, s1) <= radio * np.minimum(s0, s1))
+        d = mash_distance(c, s0, s1, p.kmer_size)
+        expect += int((ok & (d <= 0.05)).sum())
+    assert total == expect
+    assert 0.0 <= min_d <= 1.0
