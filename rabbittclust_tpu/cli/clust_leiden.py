@@ -1,0 +1,88 @@
+"""clust-leiden entry point (reference src/main.cpp:391-477 dispatch)."""
+
+from __future__ import annotations
+
+import sys
+
+from .common import base_parser, make_output_options, validate_common
+from .. import workflows as wf
+from ..cluster.leiden import cluster_graph, community_clusters, load_graph
+from ..state.cluster_io import write_cluster_file
+
+
+def main(argv=None) -> int:
+    p = base_parser("leiden")
+    args = p.parse_args(argv)
+    validate_common(args, "leiden")
+    opts = make_output_options(args, "leiden")
+
+    use_louvain = args.use_louvain
+    knn_k = args.knn_k
+    if use_louvain and knn_k == 0:
+        knn_k = 1000
+        print(f"-----Auto-enabled: edge-parallel + warm-start + knn={knn_k}",
+              file=sys.stderr)
+    if knn_k == 0:
+        knn_k = 500
+        print(f"-----Auto-selecting k-NN: k={knn_k} (use --knn 0 to disable)",
+              file=sys.stderr)
+    if 0 < knn_k < 10:
+        print(f"WARNING: --knn value too small ({knn_k}), recommend at "
+              f"least 50. Using 50.", file=sys.stderr)
+        knn_k = 50
+
+    if args.pregraph:
+        n, graph = load_graph(args.pregraph)
+        clusters = cluster_graph(n, graph, args.resolution, not use_louvain)
+        _write_membership(clusters, args.output)
+        return 0
+
+    if not args.is_fast:
+        print("ERROR: clust-leiden requires --fast option", file=sys.stderr)
+        return 1
+
+    if args.presketched:
+        from ..state.sketch_io import load_kssd_sketches
+        ss, kp = load_kssd_sketches(args.presketched)
+    else:
+        kmer_size = args.kmer_size or 19
+        if not (0 <= args.drlevel <= 8):
+            print(f"ERROR: invalid drlevel {args.drlevel}, should be in "
+                  f"[0, 8]", file=sys.stderr)
+            return 1
+        from ..io.fasta import read_file_list
+        from ..sketch.kssd import sketch_files_kssd, sketch_sequences_kssd
+        if args.sketch_by_file:
+            ss, kp = sketch_files_kssd(read_file_list(args.input),
+                                       args.min_len, kmer_size, args.drlevel,
+                                       args.threads)
+        else:
+            ss, kp = sketch_sequences_kssd(args.input, args.min_len,
+                                           kmer_size, args.drlevel,
+                                           args.threads)
+    print(f"-----the size of sketches (genomes) is: {len(ss)}",
+          file=sys.stderr)
+    graph_path = (args.output + ".graph") if not args.no_save else None
+    clusters = community_clusters(
+        ss.hashes, args.threshold, kp.kmer_size, args.resolution,
+        use_leiden=not use_louvain, knn_k=knn_k,
+        graph_save_path=graph_path, use_device=args.use_device)
+    write_cluster_file(args.output, clusters, ss, args.threshold)
+    print(f"-----write the cluster result into: {args.output}",
+          file=sys.stderr)
+    return 0
+
+
+def _write_membership(clusters, output: str) -> None:
+    with open(output, "w") as f:
+        f.write(f"# Clustering from pre-built graph\n")
+        f.write(f"# Total clusters: {len(clusters)}\n#\n")
+        for ci, members in enumerate(clusters):
+            f.write(f"the cluster {ci} is: \n")
+            for li, gid in enumerate(members):
+                f.write(f"\t{li:5d}\t{gid:6d}\n")
+            f.write("\n")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

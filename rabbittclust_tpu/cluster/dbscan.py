@@ -1,0 +1,174 @@
+"""DBSCAN density clustering engine (clust-dbscan).
+
+Re-derivation of reference src/dbscan.cpp:
+  * neighbor criterion: Jaccard >= j_min(eps) with the reference's 1e-12
+    tolerance (c*(1+t) + 1e-12 >= t*(sizeRef+sizeQry), dbscan.cpp:559-565),
+    j_min = e^{-eps*k}/(2-e^{-eps*k});
+  * size prefilter: sizeQry in [floor(t*sizeRef), ceil(sizeRef/t)]
+    (dbscan.cpp:464-467);
+  * optional per-point k-NN cap (approximate accelerator) and posting-list
+    truncation max_posting (dbscan.cpp:81-365);
+  * classic expansion with minPts *including* the point itself
+    (dbscan.cpp:831-832); labels -1 unvisited / -2 noise / >=0 cluster;
+    noise points reachable from a core point get relabeled (dbscan.cpp:870).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Dict, List
+
+import numpy as np
+
+from .mst import candidate_pair_counts, flatten_sketches
+
+
+@dataclass
+class DBSCANResult:
+    clusters: List[List[int]]
+    noise: List[int]
+    labels: np.ndarray
+
+    @property
+    def num_clusters(self) -> int:
+        return len(self.clusters)
+
+    @property
+    def num_noise(self) -> int:
+        return len(self.noise)
+
+
+def _neighbor_lists(hashes, eps: float, kmer_size: int, knn_k: int,
+                    max_posting: int) -> List[np.ndarray]:
+    """Adjacency (neighbors within eps) for every point."""
+    n = len(hashes)
+    sizes = np.array([len(h) for h in hashes], dtype=np.int64)
+    x = math.exp(-eps * kmer_size)
+    t = x / (2.0 - x)  # jaccard_min
+    if max_posting > 0:
+        # drop hash keys whose posting size exceeds max_posting
+        hv, gid = flatten_sketches(hashes)
+        order = np.argsort(hv, kind="stable")
+        hv_s, gid_s = hv[order], gid[order]
+        starts = np.flatnonzero(np.r_[True, hv_s[1:] != hv_s[:-1]])
+        lens = np.diff(np.r_[starts, len(hv_s)])
+        keep_run = lens <= max_posting
+        keep_pos = np.repeat(keep_run, lens)
+        kept_h = hv_s[keep_pos]
+        kept_g = gid_s[keep_pos]
+        trimmed: List[np.ndarray] = [None] * n
+        ordg = np.argsort(kept_g, kind="stable")
+        kept_g2, kept_h2 = kept_g[ordg], kept_h[ordg]
+        bounds = np.searchsorted(kept_g2, np.arange(n + 1))
+        hashes = [np.sort(kept_h2[bounds[i]:bounds[i + 1]])
+                  for i in range(n)]
+    adj: List[List[int]] = [[] for _ in range(n)]
+    adj_j: List[List[float]] = [[] for _ in range(n)]
+    for i, j, c in candidate_pair_counts(hashes):
+        s0 = sizes[i].astype(np.float64)
+        s1 = sizes[j].astype(np.float64)
+        lhs = c.astype(np.float64) * (1.0 + t)
+        rhs = t * (s0 + s1)
+        ok = (lhs + 1e-12 >= rhs) & (sizes[i] > 0) & (sizes[j] > 0)
+        # size prefilter (floor/ceil window) — same acceptance as the
+        # jaccard test for passing pairs; kept for parity
+        denom = s0 + s1 - c
+        jac = np.where(denom > 0, c / np.maximum(denom, 1.0), 0.0)
+        for a, b, jv in zip(i[ok].tolist(), j[ok].tolist(),
+                            jac[ok].tolist()):
+            adj[a].append(b)
+            adj_j[a].append(jv)
+            adj[b].append(a)
+            adj_j[b].append(jv)
+    if knn_k > 0:
+        out = []
+        for i in range(n):
+            if len(adj[i]) > knn_k:
+                idx = np.argsort(-np.asarray(adj_j[i]), kind="stable")[:knn_k]
+                out.append(np.asarray(adj[i], dtype=np.int64)[idx])
+            else:
+                out.append(np.asarray(adj[i], dtype=np.int64))
+        return out
+    return [np.asarray(a, dtype=np.int64) for a in adj]
+
+
+def dbscan_cluster(hashes, eps: float, min_pts: int, kmer_size: int,
+                   knn_k: int = 0, max_posting: int = 0) -> DBSCANResult:
+    n = len(hashes)
+    if knn_k > 0 and knn_k < min_pts - 1:
+        print(f"-----WARNING: knn_k ({knn_k}) < minPts-1 ({min_pts - 1}). "
+              f"Adjusting knn_k to {min_pts - 1}.", file=sys.stderr)
+        knn_k = min_pts - 1
+    adj = _neighbor_lists(hashes, eps, kmer_size, knn_k, max_posting)
+    labels = np.full(n, -1, dtype=np.int64)  # -1 unvisited, -2 noise
+    cluster_id = 0
+    for i in range(n):
+        if labels[i] != -1:
+            continue
+        neighbors = adj[i]
+        if len(neighbors) + 1 < min_pts:  # minPts includes the point itself
+            labels[i] = -2
+            continue
+        labels[i] = cluster_id
+        queue = deque(neighbors.tolist())
+        enqueued = set(neighbors.tolist())
+        while queue:
+            q = queue.popleft()
+            if labels[q] == -2:
+                labels[q] = cluster_id  # border point reclaimed from noise
+                continue
+            if labels[q] != -1:
+                continue
+            labels[q] = cluster_id
+            q_nbrs = adj[q]
+            if len(q_nbrs) + 1 >= min_pts:  # q is core: expand
+                for v in q_nbrs.tolist():
+                    if labels[v] in (-1, -2) and v not in enqueued:
+                        enqueued.add(v)
+                        queue.append(v)
+        cluster_id += 1
+    clusters: List[List[int]] = [[] for _ in range(cluster_id)]
+    noise: List[int] = []
+    for i in range(n):
+        if labels[i] == -2:
+            noise.append(i)
+        elif labels[i] >= 0:
+            clusters[labels[i]].append(i)
+    return DBSCANResult(clusters=clusters, noise=noise, labels=labels)
+
+
+def write_dbscan_result(result: DBSCANResult, ss, output_file: str,
+                        eps: float, min_pts: int) -> None:
+    """printKssdDBSCANResult format (dbscan.cpp:1212-1278): clusters, then
+    each noise point as its own cluster."""
+    with open(output_file, "w") as fp:
+        fp.write(f"# DBSCAN clustering parameters: eps={eps:.6f}, "
+                 f"minPts={min_pts}\n")
+        fp.write(f"# Total clusters: {result.num_clusters}\n")
+        if result.num_noise > 0:
+            fp.write(f"# Total noise points (outliers): {result.num_noise}\n")
+        fp.write("#\n")
+        by_file = ss.sketch_by_file
+
+        def row(local, gid):
+            if by_file:
+                fp.write("\t%5d\t%6d\t%12dnt\t%20s\t%20s\t%s\n" % (
+                    local, gid, ss.total_lens[gid], ss.file_names[gid],
+                    ss.names[gid], ss.comments[gid]))
+            else:
+                fp.write("\t%6d\t%6d\t%12dnt\t%20s\t%s\n" % (
+                    local, gid, ss.seq0_lens[gid], ss.names[gid],
+                    ss.comments[gid]))
+
+        for ci, members in enumerate(result.clusters):
+            fp.write(f"the cluster {ci} is: \n")
+            for li, gid in enumerate(members):
+                row(li, gid)
+            fp.write("\n")
+        for k, gid in enumerate(result.noise):
+            fp.write(f"the cluster {result.num_clusters + k} is: \n")
+            row(0, gid)
+            fp.write("\n")

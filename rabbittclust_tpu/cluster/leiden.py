@@ -1,0 +1,225 @@
+"""Graph-community clustering engine (clust-leiden: Louvain/Leiden).
+
+Re-derivation of reference src/leiden.cpp:
+  * graph construction (leiden.cpp:168-293): candidate pairs from the
+    inverted index; edge iff dist < threshold with weight = 1 - dist;
+    size-ratio filter min/max >= 0.5; optional per-node top-k (k-NN) pruning
+    over forward neighbors (j > i);
+  * community detection: the reference calls igraph Louvain
+    (community_multilevel) or Leiden; this build ships its own deterministic
+    array-based Louvain (igraph is not available in the TPU image).  The
+    --leiden flag maps to Louvain plus the reference's weight normalization
+    (leiden.cpp:343-366); clusters are returned sorted by size descending
+    (leiden.cpp:450-453).
+  * graph persistence: "num_nodes num_edges" header + "from to weight"
+    rows (save_graph_to_file, leiden.cpp:474-491).
+"""
+
+from __future__ import annotations
+
+import heapq
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..distance.mash import mash_distance
+from .mst import candidate_pair_counts
+
+Graph = Tuple[np.ndarray, np.ndarray, np.ndarray]  # (from, to, weight)
+
+
+def build_similarity_graph(hashes: List[np.ndarray], threshold: float,
+                           kmer_size: int, knn_k: int = 0,
+                           use_device: bool = False) -> Graph:
+    n = len(hashes)
+    sizes = np.array([len(h) for h in hashes], dtype=np.int64)
+    ii_parts, jj_parts, ww_parts = [], [], []
+    if use_device:
+        from ..ops.bitmap import candidate_pairs_threshold
+        pairs_iter = [candidate_pairs_threshold(hashes, threshold, kmer_size)]
+    else:
+        pairs_iter = candidate_pair_counts(hashes)
+    for i, j, c in pairs_iter:
+        s0 = sizes[i]
+        s1 = sizes[j]
+        ratio = np.minimum(s0, s1) / np.maximum(np.maximum(s0, s1), 1)
+        d = np.clip(mash_distance(c, s0, s1, kmer_size), 0.0, 1.0)
+        keep = (ratio >= 0.5) & (d < threshold)
+        ii_parts.append(i[keep])
+        jj_parts.append(j[keep])
+        ww_parts.append(1.0 - d[keep])
+    if not ii_parts:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), np.empty(0, dtype=np.float64)
+    ii = np.concatenate(ii_parts)
+    jj = np.concatenate(jj_parts)
+    ww = np.concatenate(ww_parts)
+    if knn_k > 0 and len(ii):
+        # per-node top-k over forward neighbors (smaller id is "from";
+        # reference keeps top-k of {j > i} per i, leiden.cpp:195-231)
+        frm = np.minimum(ii, jj)
+        to = np.maximum(ii, jj)
+        order = np.lexsort((1.0 - ww, frm))   # by from, then dist asc
+        frm, to, ww = frm[order], to[order], ww[order]
+        starts = np.flatnonzero(np.r_[True, frm[1:] != frm[:-1]])
+        lens = np.diff(np.r_[starts, len(frm)])
+        rank = np.arange(len(frm)) - np.repeat(starts, lens)
+        keep = rank < knn_k
+        return frm[keep], to[keep], ww[keep]
+    return np.minimum(ii, jj), np.maximum(ii, jj), ww
+
+
+def save_graph(graph: Graph, num_nodes: int, path: str) -> None:
+    frm, to, w = graph
+    with open(path, "w") as f:
+        f.write(f"{num_nodes} {len(frm)}\n")
+        for a, b, x in zip(frm.tolist(), to.tolist(), w.tolist()):
+            f.write(f"{a} {b} {x:g}\n")
+    print(f"-----Graph saved to: {path}", file=sys.stderr)
+
+
+def load_graph(path: str) -> Tuple[int, Graph]:
+    with open(path) as f:
+        header = f.readline().split()
+        n, m = int(header[0]), int(header[1])
+        frm = np.empty(m, dtype=np.int64)
+        to = np.empty(m, dtype=np.int64)
+        w = np.empty(m, dtype=np.float64)
+        for k in range(m):
+            a, b, x = f.readline().split()
+            frm[k], to[k], w[k] = int(a), int(b), float(x)
+    return n, (frm, to, w)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic array-based Louvain (modularity with resolution parameter)
+# ---------------------------------------------------------------------------
+
+def _one_level(n: int, adj_idx, adj_nbr, adj_w, k_arr, two_m,
+               resolution: float) -> Tuple[np.ndarray, bool]:
+    """One Louvain level: local moves until stable.  Deterministic: nodes in
+    ascending order; best community by max gain, ties -> lowest id."""
+    comm = np.arange(n, dtype=np.int64)
+    comm_tot = k_arr.copy()
+    improved_any = False
+    for _sweep in range(100):
+        moved = False
+        for u in range(n):
+            cu = comm[u]
+            ku = k_arr[u]
+            # neighbor community weights
+            nbrs = adj_nbr[adj_idx[u]:adj_idx[u + 1]]
+            wts = adj_w[adj_idx[u]:adj_idx[u + 1]]
+            if len(nbrs) == 0:
+                continue
+            comm_tot[cu] -= ku
+            links: Dict[int, float] = {}
+            for v, w in zip(nbrs.tolist(), wts.tolist()):
+                cv = int(comm[v])
+                links[cv] = links.get(cv, 0.0) + w
+            base = links.get(int(cu), 0.0) - resolution * comm_tot[cu] * ku / two_m
+            best_c, best_gain = int(cu), 0.0
+            for cv, w_in in links.items():
+                gain = w_in - resolution * comm_tot[cv] * ku / two_m
+                if gain - base > best_gain + 1e-12 or (
+                        abs(gain - base - best_gain) <= 1e-12 and
+                        best_gain > 0 and cv < best_c):
+                    best_gain = gain - base
+                    best_c = cv
+            comm[u] = best_c
+            comm_tot[best_c] += ku
+            if best_c != cu:
+                moved = True
+                improved_any = True
+        if not moved:
+            break
+    return comm, improved_any
+
+
+def louvain(n: int, graph: Graph, resolution: float = 1.0
+            ) -> np.ndarray:
+    """Returns membership array (n,) of community ids (renumbered 0..)."""
+    frm, to, w = graph
+    membership = np.arange(n, dtype=np.int64)
+    cur_n = n
+    cur_frm, cur_to, cur_w = (frm.astype(np.int64), to.astype(np.int64),
+                              w.astype(np.float64))
+    for _level in range(32):
+        if len(cur_frm) == 0:
+            break
+        # CSR adjacency (undirected; self-loops contribute to degree)
+        deg_w = np.zeros(cur_n, dtype=np.float64)
+        np.add.at(deg_w, cur_frm, cur_w)
+        np.add.at(deg_w, cur_to, cur_w)
+        two_m = deg_w.sum()
+        if two_m <= 0:
+            break
+        src = np.concatenate([cur_frm, cur_to])
+        dst = np.concatenate([cur_to, cur_frm])
+        ww2 = np.concatenate([cur_w, cur_w])
+        order = np.argsort(src, kind="stable")
+        src, dst, ww2 = src[order], dst[order], ww2[order]
+        adj_idx = np.zeros(cur_n + 1, dtype=np.int64)
+        np.add.at(adj_idx, src + 1, 1)
+        adj_idx = np.cumsum(adj_idx)
+        comm, improved = _one_level(cur_n, adj_idx, dst, ww2, deg_w, two_m,
+                                    resolution)
+        # renumber communities compactly
+        uniq, comm_compact = np.unique(comm, return_inverse=True)
+        membership = comm_compact[membership]
+        if not improved or len(uniq) == cur_n:
+            break
+        # aggregate graph
+        cf = comm_compact[cur_frm]
+        ct = comm_compact[cur_to]
+        a = np.minimum(cf, ct)
+        b = np.maximum(cf, ct)
+        key = a * len(uniq) + b
+        uk, inv = np.unique(key, return_inverse=True)
+        agg_w = np.zeros(len(uk), dtype=np.float64)
+        np.add.at(agg_w, inv, cur_w)
+        cur_frm = (uk // len(uniq)).astype(np.int64)
+        cur_to = (uk % len(uniq)).astype(np.int64)
+        cur_w = agg_w
+        cur_n = len(uniq)
+    # final renumber
+    _, final = np.unique(membership, return_inverse=True)
+    return final
+
+
+def community_clusters(hashes: List[np.ndarray], threshold: float,
+                       kmer_size: int, resolution: float = 1.0,
+                       use_leiden: bool = True, knn_k: int = 0,
+                       graph_save_path: Optional[str] = None,
+                       use_device: bool = False) -> List[List[int]]:
+    n = len(hashes)
+    if n == 0:
+        return []
+    graph = build_similarity_graph(hashes, threshold, kmer_size, knn_k,
+                                   use_device)
+    print(f"-----Edges created: {len(graph[0])}", file=sys.stderr)
+    if graph_save_path:
+        save_graph(graph, n, graph_save_path)
+    return cluster_graph(n, graph, resolution, use_leiden)
+
+
+def cluster_graph(n: int, graph: Graph, resolution: float,
+                  use_leiden: bool) -> List[List[int]]:
+    frm, to, w = graph
+    if len(frm) == 0:
+        return [[i] for i in range(n)]
+    if use_leiden:
+        # reference normalizes narrow weight ranges before Leiden
+        # (leiden.cpp:343-366); our detector is Louvain either way
+        wmin, wmax = float(w.min()), float(w.max())
+        if wmax - wmin < 0.5 and wmax - wmin > 1e-6:
+            w = (w - wmin) / (wmax - wmin)
+    membership = louvain(n, (frm, to, w), resolution)
+    clusters: Dict[int, List[int]] = {}
+    for i, c in enumerate(membership.tolist()):
+        clusters.setdefault(c, []).append(i)
+    result = list(clusters.values())
+    result.sort(key=len, reverse=True)
+    print(f"-----Number of clusters: {len(result)}", file=sys.stderr)
+    return result

@@ -1,0 +1,130 @@
+"""Louvain/Leiden and DBSCAN engines."""
+
+import numpy as np
+import pytest
+
+from rabbittclust_tpu.cluster.dbscan import dbscan_cluster
+from rabbittclust_tpu.cluster.leiden import (
+    build_similarity_graph,
+    community_clusters,
+    load_graph,
+    louvain,
+    save_graph,
+)
+from rabbittclust_tpu.sketch.kssd import sketch_files_kssd
+from tests.helpers import clusters_to_labels, same_partition
+
+
+@pytest.fixture()
+def sketched(synthetic_genomes):
+    return sketch_files_kssd(synthetic_genomes.files, min_len=1000,
+                             kmer_size=19, drlevel=2)
+
+
+def test_graph_construction(sketched, synthetic_genomes):
+    ss, p = sketched
+    frm, to, w = build_similarity_graph(ss.hashes, 0.05, p.kmer_size)
+    assert len(frm) > 0
+    assert (frm < to).all()
+    assert ((w > 0.9) & (w <= 1.0)).all()   # weights = 1 - dist, dist small
+    # only intra-cluster edges exist (clusters share no hashes)
+    lab = synthetic_genomes.labels
+    for a, b in zip(frm, to):
+        assert lab[a] == lab[b]
+
+
+def test_knn_pruning(sketched):
+    ss, p = sketched
+    frm, to, w = build_similarity_graph(ss.hashes, 0.05, p.kmer_size,
+                                        knn_k=2)
+    # at most 2 forward edges per node
+    counts = np.bincount(frm, minlength=len(ss))
+    assert counts.max() <= 2
+
+
+def test_louvain_recovers_components(sketched, synthetic_genomes):
+    ss, p = sketched
+    clusters = community_clusters(ss.hashes, 0.05, p.kmer_size,
+                                  use_leiden=False)
+    labels = clusters_to_labels(clusters, len(ss))
+    assert same_partition(labels, synthetic_genomes.labels)
+    # sorted by size descending
+    sizes = [len(c) for c in clusters]
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_leiden_mode_with_normalization(sketched, synthetic_genomes):
+    ss, p = sketched
+    clusters = community_clusters(ss.hashes, 0.05, p.kmer_size,
+                                  use_leiden=True)
+    labels = clusters_to_labels(clusters, len(ss))
+    assert same_partition(labels, synthetic_genomes.labels)
+
+
+def test_louvain_splits_weakly_linked():
+    """Two dense cliques joined by one weak edge split into two communities."""
+    edges = []
+    for block, off in ((0, 0), (1, 8)):
+        for a in range(8):
+            for b in range(a):
+                edges.append((off + b, off + a, 1.0))
+    edges.append((0, 8, 0.05))
+    frm = np.array([e[0] for e in edges])
+    to = np.array([e[1] for e in edges])
+    w = np.array([e[2] for e in edges])
+    mem = louvain(16, (frm, to, w))
+    assert len(set(mem[:8].tolist())) == 1
+    assert len(set(mem[8:].tolist())) == 1
+    assert mem[0] != mem[8]
+
+
+def test_graph_save_load(tmp_path, sketched):
+    ss, p = sketched
+    g = build_similarity_graph(ss.hashes, 0.05, p.kmer_size)
+    path = str(tmp_path / "g.graph")
+    save_graph(g, len(ss), path)
+    n, g2 = load_graph(path)
+    assert n == len(ss)
+    assert np.array_equal(g[0], g2[0])
+    assert np.array_equal(g[1], g2[1])
+    assert np.allclose(g[2], g2[2], atol=1e-6)
+
+
+def test_dbscan_recovery(sketched, synthetic_genomes):
+    ss, p = sketched
+    # 5 per cluster; minPts=3 -> every point core, clusters recovered
+    res = dbscan_cluster(ss.hashes, eps=0.05, min_pts=3,
+                         kmer_size=p.kmer_size)
+    assert res.num_noise == 0
+    labels = clusters_to_labels(res.clusters, len(ss))
+    assert same_partition(labels, synthetic_genomes.labels)
+
+
+def test_dbscan_noise():
+    """Isolated points become noise; dense blob becomes one cluster."""
+    rng = np.random.default_rng(0)
+    base = np.unique(rng.integers(0, 2 ** 28, size=300).astype(np.uint32))
+    hashes = []
+    for _ in range(6):  # dense blob
+        keep = base[rng.random(len(base)) < 0.9]
+        hashes.append(np.unique(keep))
+    for _ in range(3):  # isolated points
+        hashes.append(np.unique(
+            rng.integers(0, 2 ** 28, size=300).astype(np.uint32)))
+    res = dbscan_cluster(hashes, eps=0.05, min_pts=4, kmer_size=21)
+    assert res.num_clusters == 1
+    assert sorted(res.clusters[0]) == [0, 1, 2, 3, 4, 5]
+    assert sorted(res.noise) == [6, 7, 8]
+
+
+def test_dbscan_minpts_includes_self(sketched):
+    ss, p = sketched
+    # minPts=6 > cluster size 5 -> everything noise
+    res = dbscan_cluster(ss.hashes, eps=0.05, min_pts=6,
+                         kmer_size=p.kmer_size)
+    assert res.num_clusters == 0
+    assert res.num_noise == len(ss)
+    # minPts=5 == cluster size (4 neighbors + self) -> clusters form
+    res = dbscan_cluster(ss.hashes, eps=0.05, min_pts=5,
+                         kmer_size=p.kmer_size)
+    assert res.num_clusters == 4
