@@ -76,6 +76,8 @@ def _build_state_from_sketchset(ss, p, threshold: float) -> KssdClusterState:
 
 def run_greedy_repdb(args, opts) -> int:
     """KSSD (--fast) and MinHash greedy RepDB verbs."""
+    if not args.is_fast:
+        return run_mh_repdb(args, opts)
     db = args.repdb_path
     if args.repdb_stats:
         st = KssdClusterState.load_repdb(db)
@@ -135,8 +137,25 @@ def run_greedy_repdb(args, opts) -> int:
     return 1
 
 
+def _sketch_mst_queries(args, st):
+    """Sketch query genomes with the parameters stored in an MST state."""
+    if st.kind == "kssd":
+        return _sketch_queries(args, st.kmer_size, st.drlevel)
+    from ..sketch.minhash import MinHashParams
+    from ..sketch.minhash import sketch_files_minhash, sketch_sequences_minhash
+    p = MinHashParams(kmer_size=st.kmer_size, sketch_size=st.sketch_size,
+                      is_containment=st.is_containment,
+                      contain_compress=st.contain_compress)
+    if args.sketch_by_file:
+        return sketch_files_minhash(read_file_list(args.input), args.min_len,
+                                    p, args.threads)
+    return sketch_sequences_minhash(args.input, args.min_len, p, args.threads)
+
+
 def run_mst_repdb(args, opts) -> int:
-    """MST RepDB verbs over the tree-medoid state (mst_state)."""
+    """MST RepDB verbs over the tree-medoid state (mst_state); --fast
+    selects the KSSD flavor, otherwise MinHash (reference mst_repdb_* /
+    mst_repdb_*_fast)."""
     from ..state.mst_state import MstState
     db = args.repdb_path
     if args.repdb_stats:
@@ -145,29 +164,64 @@ def run_mst_repdb(args, opts) -> int:
         return 0
     if args.repdb_build:
         from ..cluster.mst import compute_mst, cut_forest, clusters_from_forest
-        if args.presketched:
-            from ..state.sketch_io import load_kssd_sketches
-            ss, p = load_kssd_sketches(args.presketched)
-        elif args.input:
-            kmer = args.kmer_size or 21
-            if args.sketch_by_file:
-                ss, p = sketch_files_kssd(read_file_list(args.input),
-                                          args.min_len, kmer, args.drlevel,
-                                          args.threads)
-            else:
-                ss, p = sketch_sequences_kssd(args.input, args.min_len, kmer,
+        if args.is_fast:
+            if args.presketched:
+                from ..state.sketch_io import load_kssd_sketches
+                ss, p = load_kssd_sketches(args.presketched)
+            elif args.input:
+                kmer = args.kmer_size or 21
+                if args.sketch_by_file:
+                    ss, p = sketch_files_kssd(read_file_list(args.input),
+                                              args.min_len, kmer,
                                               args.drlevel, args.threads)
+                else:
+                    ss, p = sketch_sequences_kssd(args.input, args.min_len,
+                                                  kmer, args.drlevel,
+                                                  args.threads)
+            else:
+                print("ERROR: --build requires --presketched <folder> or -i "
+                      "<genome_list> -l", file=sys.stderr)
+                return 1
+            kmer_size = p.kmer_size
+            state_params = dict(kind="kssd", kmer_size=p.kmer_size,
+                                half_k=p.half_k, half_subk=p.half_subk,
+                                drlevel=p.drlevel)
         else:
-            print("ERROR: --build requires --presketched <folder> or -i "
-                  "<genome_list> -l", file=sys.stderr)
-            return 1
-        res = compute_mst(ss.hashes, args.threshold, p.kmer_size,
+            from ..sketch.minhash import MinHashParams
+            if args.presketched:
+                from ..state.sketch_io import load_minhash_sketches
+                ss, p = load_minhash_sketches(args.presketched)
+            elif args.input:
+                p = MinHashParams(
+                    kmer_size=args.kmer_size or 21,
+                    sketch_size=args.sketch_size or 1000,
+                    is_containment=args.contain_compress is not None,
+                    contain_compress=args.contain_compress or 0)
+                from ..sketch.minhash import (
+                    sketch_files_minhash, sketch_sequences_minhash)
+                if args.sketch_by_file:
+                    ss = sketch_files_minhash(read_file_list(args.input),
+                                              args.min_len, p, args.threads)
+                else:
+                    ss = sketch_sequences_minhash(args.input, args.min_len,
+                                                  p, args.threads)
+            else:
+                print("ERROR: --build requires --presketched <folder> or -i "
+                      "<genome_list> -l", file=sys.stderr)
+                return 1
+            kmer_size = p.kmer_size
+            state_params = dict(kind="minhash", kmer_size=p.kmer_size,
+                                sketch_size=p.sketch_size,
+                                contain_compress=p.contain_compress,
+                                is_containment=p.is_containment)
+        res = compute_mst(ss.hashes, args.threshold, kmer_size,
                           is_containment=args.contain_compress is not None)
         clusters = clusters_from_forest(cut_forest(res.mst, args.threshold),
                                         len(ss))
-        from ..state.mst_state import KssdMstState
-        st = KssdMstState.from_clustering(ss, p, res.mst, clusters,
-                                          args.threshold)
+        forest = cut_forest(res.mst, args.threshold)
+        kind = state_params.pop("kind")
+        st = MstState.from_clustering(ss, kind, forest, clusters,
+                                      args.threshold, **state_params)
         st.save(db)
         if args.output:
             from ..state.cluster_io import write_cluster_file
@@ -179,7 +233,7 @@ def run_mst_repdb(args, opts) -> int:
                   file=sys.stderr)
             return 1
         st = MstState.load(db)
-        ss = _sketch_queries(args, st.kmer_size, st.drlevel)
+        ss = _sketch_mst_queries(args, st)
         if args.repdb_query:
             write_query_tsv(st, ss, args.output, args.topk)
         else:
@@ -188,11 +242,93 @@ def run_mst_repdb(args, opts) -> int:
     if args.append:
         st = MstState.load(db)
         args.input = args.append
-        ss = _sketch_queries(args, st.kmer_size, st.drlevel)
+        ss = _sketch_mst_queries(args, st)
         live = st.append_cluster(ss)
         st.save(db)
         if args.output:
             st.write_cluster_result(live, args.output, st.threshold)
+        return 0
+    print("ERROR: --db requires one of: --build, --query, --assign, "
+          "--append, --stats", file=sys.stderr)
+    return 1
+
+
+# ---------------------------------------------------------------------------
+# MinHash RepDB verbs (reference mh_repdb_*, sub_command.cpp:478-700)
+# ---------------------------------------------------------------------------
+
+def _sketch_queries_minhash(args, p):
+    from ..sketch.minhash import sketch_files_minhash, sketch_sequences_minhash
+    if args.sketch_by_file:
+        files = read_file_list(args.input)
+        return sketch_files_minhash(files, args.min_len, p, args.threads)
+    return sketch_sequences_minhash(args.input, args.min_len, p, args.threads)
+
+
+def run_mh_repdb(args, opts) -> int:
+    from ..sketch.minhash import MinHashParams
+    from ..state.greedy_state import MinHashClusterState
+    db = args.repdb_path
+    if args.repdb_stats:
+        st = MinHashClusterState.load_repdb(db)
+        st.print_stats(sys.stdout)
+        return 0
+    if args.repdb_build:
+        threshold = args.threshold
+        if args.presketched:
+            from ..state.sketch_io import load_minhash_sketches
+            ss, p = load_minhash_sketches(args.presketched)
+        elif args.input:
+            p = MinHashParams(
+                kmer_size=args.kmer_size or 21,
+                sketch_size=args.sketch_size or 1000,
+                is_containment=args.contain_compress is not None,
+                contain_compress=args.contain_compress or 0)
+            ss = _sketch_queries_minhash(args, p)
+        else:
+            print("ERROR: --build requires --presketched <folder> or -i "
+                  "<genome_list> -l", file=sys.stderr)
+            return 1
+        from ..cluster.greedy import greedy_cluster
+        order = ss.sort_by_size_desc()
+        ss2 = ss.reorder(order)
+        gres = greedy_cluster(ss2.hashes, threshold, p.kmer_size,
+                              presorted=True,
+                              is_containment=p.is_containment)
+        state = MinHashClusterState.from_clustering(ss2, p, gres, threshold)
+        state.save_repdb(db)
+        if args.output:
+            from ..state.cluster_io import write_cluster_file
+            write_cluster_file(args.output, state.clusters, ss2, threshold)
+        return 0
+    if args.repdb_query or args.repdb_assign:
+        if not args.input:
+            print("ERROR: --query/--assign requires -i <input_file>",
+                  file=sys.stderr)
+            return 1
+        st = MinHashClusterState.load_repdb(db)
+        p = MinHashParams(kmer_size=st.kmer_size,
+                          sketch_size=st.sketch_size,
+                          is_containment=st.is_containment,
+                          contain_compress=st.contain_compress)
+        ss = _sketch_queries_minhash(args, p)
+        if args.repdb_query:
+            write_query_tsv(st, ss, args.output, args.topk)
+        else:
+            write_assign_tsv(st, ss, args.output)
+        return 0
+    if args.append:
+        st = MinHashClusterState.load_repdb(db)
+        p = MinHashParams(kmer_size=st.kmer_size,
+                          sketch_size=st.sketch_size,
+                          is_containment=st.is_containment,
+                          contain_compress=st.contain_compress)
+        args.input = args.append
+        ss = _sketch_queries_minhash(args, p)
+        st.incremental_cluster(ss)
+        st.save_repdb(db)
+        if args.output:
+            st.write_cluster_result(args.output)
         return 0
     print("ERROR: --db requires one of: --build, --query, --assign, "
           "--append, --stats", file=sys.stderr)

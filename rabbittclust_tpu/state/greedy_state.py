@@ -26,6 +26,19 @@ from ..sketch.base import SketchSet
 from ..sketch.kssd import KssdParams
 
 
+def exact_containment_distance(a: np.ndarray, b: np.ndarray,
+                               kmer_size: int) -> float:
+    """AAF containment distance from sorted hash arrays, clamped <= 1."""
+    common = len(np.intersect1d(a, b, assume_unique=True))
+    mn = min(len(a), len(b))
+    c = common / mn if mn else 0.0
+    if c >= 1.0:
+        return 0.0
+    if c <= 0.0:
+        return 1.0
+    return min(-math.log(c) / kmer_size, 1.0)
+
+
 def exact_mash_distance(a: np.ndarray, b: np.ndarray, kmer_size: int) -> float:
     """Exact Mash distance from sorted hash arrays, clamped to <= 1
     (reference calculate_mash_distance, greedy.cpp:103-160)."""
@@ -424,6 +437,295 @@ class KssdClusterState:
                              threshold: Optional[float] = None) -> None:
         from .cluster_io import write_cluster_file
         ss = SketchSet("kssd", self.params, True, self.use64)
+        for i in range(len(self.hashes)):
+            nm = self.names[i] if self.names else self.file_names[i]
+            cm = self.comments[i] if self.comments else ""
+            ss.append_genome(file_name=self.file_names[i], name=nm,
+                             comment=cm, seq0_len=0,
+                             total_len=self.total_lens[i], num_seqs=1,
+                             hashes=self.hashes[i])
+        write_cluster_file(output_file, self.clusters, ss,
+                           -1.0 if threshold is None else threshold)
+
+
+@dataclass
+class MinHashClusterState:
+    """MinHash greedy cluster state (reference MinHashClusterState,
+    greedy.cpp:2134+; "MINHASH\\0" magic).  Shares the probe/assign logic
+    with the KSSD state but carries MinHash parameters and supports the
+    containment (-c) similarity."""
+
+    threshold: float
+    kmer_size: int
+    sketch_size: int
+    is_containment: bool = False
+    contain_compress: int = 0
+    representative_ids: List[int] = field(default_factory=list)
+    clusters: List[List[int]] = field(default_factory=list)
+    file_names: List[str] = field(default_factory=list)
+    total_lens: List[int] = field(default_factory=list)
+    hashes: List[np.ndarray] = field(default_factory=list)
+    inverted_index: Dict[int, List[int]] = field(default_factory=dict)
+    names: Optional[List[str]] = None
+    comments: Optional[List[str]] = None
+
+    @classmethod
+    def from_clustering(cls, ss: SketchSet, p, gres,
+                        threshold: float) -> "MinHashClusterState":
+        st = cls(threshold=threshold, kmer_size=p.kmer_size,
+                 sketch_size=p.sketch_size,
+                 is_containment=p.is_containment,
+                 contain_compress=p.contain_compress)
+        st.file_names = list(ss.file_names)
+        st.total_lens = list(ss.total_lens)
+        st.hashes = list(ss.hashes)
+        st.names = list(ss.names)
+        st.comments = list(ss.comments)
+        st.clusters = [list(c) for c in gres.clusters]
+        st.representative_ids = [c[0] for c in st.clusters if c]
+        st.build_inverted_index()
+        return st
+
+    def build_inverted_index(self) -> None:
+        self.inverted_index = {}
+        for rep_idx, gid in enumerate(self.representative_ids):
+            self._index_add(rep_idx, self.hashes[gid])
+
+    def _index_add(self, rep_idx: int, h: np.ndarray) -> None:
+        idx = self.inverted_index
+        for hv in h.tolist():
+            idx.setdefault(hv, []).append(rep_idx)
+
+    def _distance(self, a: np.ndarray, b: np.ndarray) -> float:
+        if self.is_containment:
+            return exact_containment_distance(a, b, self.kmer_size)
+        return exact_mash_distance(a, b, self.kmer_size)
+
+    def incremental_cluster(self, new_ss: SketchSet) -> List[List[int]]:
+        radio = 2.0 * math.exp(self.threshold * self.kmer_size) - 1.0
+        x = math.exp(-self.threshold * self.kmer_size)
+        j_min = x / (2.0 - x)
+        c_min = x
+        start = len(self.hashes)
+        self.file_names.extend(new_ss.file_names)
+        self.total_lens.extend(new_ss.total_lens)
+        self.hashes.extend(new_ss.hashes)
+        if self.names is not None:
+            self.names.extend(new_ss.names)
+            self.comments.extend(new_ss.comments)
+        for k in range(len(new_ss)):
+            gid = start + k
+            h = self.hashes[gid]
+            size_qry = len(h)
+            counts: Dict[int, int] = {}
+            for hv in h.tolist():
+                lst = self.inverted_index.get(hv)
+                if lst is None:
+                    continue
+                for r in lst:
+                    counts[r] = counts.get(r, 0) + 1
+            best_dist = float("inf")
+            best_rep = -1
+            for rep_idx, common in counts.items():
+                rep_gid = self.representative_ids[rep_idx]
+                size_ref = len(self.hashes[rep_gid])
+                if size_ref == 0:
+                    continue
+                if self.is_containment:
+                    if common < int(c_min * min(size_qry, size_ref)):
+                        continue
+                else:
+                    ratio = size_qry / size_ref
+                    if ratio > radio or ratio < 1.0 / radio:
+                        continue
+                    if common < int(j_min * (size_qry + size_ref) /
+                                    (1.0 + j_min)):
+                        continue
+                dist = self._distance(self.hashes[rep_gid], h)
+                if dist <= self.threshold and (
+                        dist < best_dist or
+                        (dist == best_dist and
+                         (best_rep == -1 or rep_idx < best_rep))):
+                    best_dist = dist
+                    best_rep = rep_idx
+            if best_rep != -1:
+                self.clusters[best_rep].append(gid)
+            else:
+                new_rep_idx = len(self.representative_ids)
+                self.representative_ids.append(gid)
+                self.clusters.append([gid])
+                self._index_add(new_rep_idx, h)
+        return self.clusters
+
+    def query_topk(self, query_hashes: np.ndarray, topk: int):
+        size_qry = len(query_hashes)
+        counts: Dict[int, int] = {}
+        for hv in query_hashes.tolist():
+            lst = self.inverted_index.get(hv)
+            if lst is None:
+                continue
+            for r in lst:
+                counts[r] = counts.get(r, 0) + 1
+        scored = []
+        for rep_idx, common in counts.items():
+            rep_gid = self.representative_ids[rep_idx]
+            if len(self.hashes[rep_gid]) == 0:
+                continue
+            dist = self._distance(self.hashes[rep_gid], query_hashes)
+            scored.append((dist, rep_idx))
+        scored.sort(key=lambda t: (t[0], t[1]))
+        out = []
+        for dist, rep_idx in scored[:topk]:
+            gid = self.representative_ids[rep_idx]
+            out.append({
+                "rep_idx": rep_idx, "genome_id": gid,
+                "genome_name": self.file_names[gid], "distance": dist,
+                "cluster_id": rep_idx,
+                "cluster_size": len(self.clusters[rep_idx]),
+            })
+        return out
+
+    def assign(self, query_hashes: np.ndarray):
+        res = self.query_topk(query_hashes, 1)
+        if res and res[0]["distance"] <= self.threshold:
+            return res[0]
+        return {"rep_idx": -1, "genome_id": -1, "genome_name": "unassigned",
+                "distance": -1.0, "cluster_id": -1, "cluster_size": 0}
+
+    def print_stats(self, out=sys.stdout) -> None:
+        total = sum(len(c) for c in self.clusters)
+        sizes = sorted((len(c) for c in self.clusters), reverse=True)
+        w = out.write
+        w("========================================\n")
+        w("     MinHash RepDB Statistics Report\n")
+        w("========================================\n\n")
+        w("[Basic Info]\n")
+        w(f"  Threshold:              {self.threshold:g}\n")
+        w(f"  Kmer size:              {self.kmer_size}\n")
+        w(f"  Sketch size:            {self.sketch_size}\n")
+        w(f"  Containment:            {self.is_containment}\n\n")
+        w("[Scale]\n")
+        w(f"  Representatives:        {len(self.representative_ids)}\n")
+        w(f"  Total genomes:          {total}\n")
+        w(f"  Inverted index hashes:  {len(self.inverted_index)}\n")
+        if sizes:
+            w("\n[Cluster Size Distribution]\n")
+            w(f"  Largest cluster:        {sizes[0]}\n")
+            w(f"  Singleton clusters:     {sum(1 for s in sizes if s == 1)}\n")
+
+    # ---- persistence (MINHASH magic; full state and RepDB share layout) ---
+
+    def _save_common(self, f, reps_only: bool) -> None:
+        f.write(b"MINHASH\x00")
+        f.write(struct.pack("<d", self.threshold))
+        f.write(struct.pack("<ii", self.kmer_size, self.sketch_size))
+        f.write(struct.pack("<?", self.is_containment))
+        f.write(struct.pack("<i", self.contain_compress))
+        f.write(struct.pack("<Q", len(self.representative_ids)))
+        f.write(np.asarray(self.representative_ids, dtype="<i4").tobytes())
+        ids = (self.representative_ids if reps_only
+               else range(len(self.hashes)))
+        f.write(struct.pack("<Q", len(self.hashes)))
+        f.write(struct.pack("<?", reps_only))
+        store = list(self.representative_ids) if reps_only else \
+            list(range(len(self.hashes)))
+        f.write(struct.pack("<Q", len(store)))
+        for i in store:
+            h = self.hashes[i]
+            f.write(struct.pack("<i", i))
+            f.write(struct.pack("<Q", self.total_lens[i]))
+            f.write(struct.pack("<Q", len(h)))
+            f.write(np.ascontiguousarray(h, dtype=np.uint64).tobytes())
+        for i in range(len(self.hashes)):
+            name = self.file_names[i].encode()
+            f.write(struct.pack("<Q", len(name)))
+            f.write(name)
+            f.write(struct.pack("<Q", self.total_lens[i]))
+        f.write(struct.pack("<Q", len(self.clusters)))
+        for cl in self.clusters:
+            f.write(struct.pack("<Q", len(cl)))
+            f.write(np.asarray(cl, dtype="<i4").tobytes())
+        f.write(struct.pack("<Q", len(self.inverted_index)))
+        for hv in sorted(self.inverted_index):
+            lst = self.inverted_index[hv]
+            f.write(struct.pack("<Q", hv))
+            f.write(struct.pack("<Q", len(lst)))
+            f.write(np.asarray(lst, dtype="<i4").tobytes())
+
+    def save(self, filepath: str) -> None:
+        with open(filepath, "wb") as f:
+            self._save_common(f, reps_only=False)
+        print(f"Saved MinHash state to: {filepath}", file=sys.stderr)
+
+    def save_repdb(self, filepath: str) -> None:
+        with open(filepath, "wb") as f:
+            self._save_common(f, reps_only=True)
+        print(f"MinHash RepDB saved to: {filepath}", file=sys.stderr)
+
+    @classmethod
+    def load(cls, filepath: str) -> "MinHashClusterState":
+        with open(filepath, "rb") as f:
+            data = f.read()
+        if data[:7] != b"MINHASH":
+            raise ValueError(f"bad MinHash state magic in {filepath}")
+        off = 8
+        (threshold,) = struct.unpack_from("<d", data, off); off += 8
+        k, ssz = struct.unpack_from("<ii", data, off); off += 8
+        (isc,) = struct.unpack_from("<?", data, off); off += 1
+        (cc,) = struct.unpack_from("<i", data, off); off += 4
+        st = cls(threshold=threshold, kmer_size=k, sketch_size=ssz,
+                 is_containment=bool(isc), contain_compress=cc)
+        (nrep,) = struct.unpack_from("<Q", data, off); off += 8
+        st.representative_ids = np.frombuffer(
+            data, dtype="<i4", count=nrep, offset=off).tolist()
+        off += 4 * nrep
+        (ntotal,) = struct.unpack_from("<Q", data, off); off += 8
+        (reps_only,) = struct.unpack_from("<?", data, off); off += 1
+        (nstore,) = struct.unpack_from("<Q", data, off); off += 8
+        stored: Dict[int, np.ndarray] = {}
+        lens: Dict[int, int] = {}
+        for _ in range(nstore):
+            (i,) = struct.unpack_from("<i", data, off); off += 4
+            (tl,) = struct.unpack_from("<Q", data, off); off += 8
+            (hn,) = struct.unpack_from("<Q", data, off); off += 8
+            stored[i] = np.frombuffer(data, dtype=np.uint64, count=hn,
+                                      offset=off).copy()
+            lens[i] = tl
+            off += 8 * hn
+        for i in range(ntotal):
+            (nl,) = struct.unpack_from("<Q", data, off); off += 8
+            st.file_names.append(
+                data[off:off + nl].decode("utf-8", "replace")); off += nl
+            (tl,) = struct.unpack_from("<Q", data, off); off += 8
+            st.total_lens.append(tl)
+            st.hashes.append(stored.get(i, np.empty(0, dtype=np.uint64)))
+        (ncl,) = struct.unpack_from("<Q", data, off); off += 8
+        for _ in range(ncl):
+            (m,) = struct.unpack_from("<Q", data, off); off += 8
+            st.clusters.append(np.frombuffer(
+                data, dtype="<i4", count=m, offset=off).tolist())
+            off += 4 * m
+        (nh,) = struct.unpack_from("<Q", data, off); off += 8
+        for _ in range(nh):
+            (hv,) = struct.unpack_from("<Q", data, off); off += 8
+            (m,) = struct.unpack_from("<Q", data, off); off += 8
+            st.inverted_index[hv] = np.frombuffer(
+                data, dtype="<i4", count=m, offset=off).tolist()
+            off += 4 * m
+        print(f"Loaded MinHash state from: {filepath}", file=sys.stderr)
+        return st
+
+    load_repdb = load
+
+    def write_cluster_result(self, output_file: str,
+                             threshold: Optional[float] = None) -> None:
+        from .cluster_io import write_cluster_file
+        from ..sketch.minhash import MinHashParams
+        p = MinHashParams(kmer_size=self.kmer_size,
+                          sketch_size=self.sketch_size,
+                          is_containment=self.is_containment,
+                          contain_compress=self.contain_compress)
+        ss = SketchSet("minhash", p, True, True)
         for i in range(len(self.hashes)):
             nm = self.names[i] if self.names else self.file_names[i]
             cm = self.comments[i] if self.comments else ""

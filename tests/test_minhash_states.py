@@ -1,0 +1,67 @@
+"""MinHash greedy state / RepDB and MinHash MST state."""
+
+import numpy as np
+import pytest
+
+from rabbittclust_tpu.cluster.greedy import greedy_cluster
+from rabbittclust_tpu.sketch.minhash import MinHashParams, sketch_files_minhash
+from rabbittclust_tpu.state.greedy_state import MinHashClusterState
+from tests.helpers import clusters_to_labels, same_partition
+
+
+@pytest.fixture()
+def mh_sketches(synthetic_genomes):
+    p = MinHashParams(kmer_size=21, sketch_size=300)
+    ss = sketch_files_minhash(synthetic_genomes.files, 1000, p)
+    return ss, p
+
+
+def test_minhash_greedy_recovery(mh_sketches, synthetic_genomes):
+    ss, p = mh_sketches
+    res = greedy_cluster(ss.hashes, 0.05, p.kmer_size)
+    labels = clusters_to_labels(res.clusters, len(ss))
+    assert same_partition(labels, synthetic_genomes.labels)
+
+
+def test_minhash_state_roundtrip_and_query(tmp_path, mh_sketches):
+    ss, p = mh_sketches
+    order = ss.sort_by_size_desc()
+    ss2 = ss.reorder(order)
+    gres = greedy_cluster(ss2.hashes, 0.05, p.kmer_size, presorted=True)
+    st = MinHashClusterState.from_clustering(ss2, p, gres, 0.05)
+    path = str(tmp_path / "mh.db")
+    st.save_repdb(path)
+    st2 = MinHashClusterState.load_repdb(path)
+    assert st2.kmer_size == 21 and st2.sketch_size == 300
+    assert st2.representative_ids == st.representative_ids
+    assert st2.clusters == st.clusters
+    for rep_idx, gid in enumerate(st.representative_ids):
+        res = st2.query_topk(st.hashes[gid], 1)
+        assert res and res[0]["distance"] == 0.0
+        assert res[0]["rep_idx"] == rep_idx
+
+
+def test_minhash_incremental(tmp_path, synthetic_genomes):
+    p = MinHashParams(kmer_size=21, sketch_size=300)
+    ss = sketch_files_minhash(synthetic_genomes.files, 1000, p)
+    k = len(ss) - 5
+    base = ss.reorder(np.arange(k))
+    extra = ss.reorder(np.arange(k, len(ss)))
+    order = base.sort_by_size_desc()
+    bs = base.reorder(order)
+    gres = greedy_cluster(bs.hashes, 0.05, p.kmer_size, presorted=True)
+    st = MinHashClusterState.from_clustering(bs, p, gres, 0.05)
+    st.incremental_cluster(extra)
+    idmap = [int(order[i]) for i in range(k)] + list(range(k, len(ss)))
+    clusters = [[idmap[g] for g in cl] for cl in st.clusters]
+    labels = clusters_to_labels(clusters, len(ss))
+    assert same_partition(labels, synthetic_genomes.labels)
+
+
+def test_minhash_containment_state(synthetic_genomes):
+    p = MinHashParams(kmer_size=21, sketch_size=0, is_containment=True,
+                      contain_compress=100)
+    ss = sketch_files_minhash(synthetic_genomes.files, 1000, p)
+    res = greedy_cluster(ss.hashes, 0.05, p.kmer_size, is_containment=True)
+    labels = clusters_to_labels(res.clusters, len(ss))
+    assert same_partition(labels, synthetic_genomes.labels)
