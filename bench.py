@@ -45,18 +45,10 @@ def clusters_host(hashes, threshold, kmer_size):
     return clusters_from_forest(cut_forest(res.mst, threshold), len(hashes))
 
 
-def clusters_tpu(hashes, threshold, kmer_size, row_block=4096):
-    from rabbittclust_tpu.ops.bitmap import candidate_pairs_threshold
-    from rabbittclust_tpu.distance.mash import mash_distance
-    from rabbittclust_tpu.cluster.mst import (
-        kruskal, cut_forest, clusters_from_forest)
-    ii, jj, common = candidate_pairs_threshold(
-        hashes, threshold, kmer_size, row_block=row_block)
-    sizes = np.array([len(h) for h in hashes], dtype=np.int64)
-    d = mash_distance(common, sizes[ii], sizes[jj], kmer_size)
-    keep = d <= threshold
-    mst = kruskal((ii[keep], jj[keep], d[keep]), len(hashes))
-    return clusters_from_forest(cut_forest(mst, threshold), len(hashes))
+def clusters_tpu(hashes, threshold, kmer_size, row_block=8192):
+    from rabbittclust_tpu.ops.cluster_fast import threshold_clusters_device
+    return threshold_clusters_device(hashes, threshold, kmer_size,
+                                     row_block=row_block)
 
 
 def partition_equal(a, b):

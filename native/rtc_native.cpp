@@ -17,6 +17,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <cmath>
+#include <climits>
 #include <string>
 #include <vector>
 #include <algorithm>
@@ -770,6 +772,49 @@ void rtc_kssd_destroy(void* s) { delete (KssdSketcher*)s; }
 // ---- exact pair verification (two-pointer over CSR sketch store) ----------
 // Used by the MXU-filter + exact-verify pipeline and by host engines.
 
+// Bit-packed signature construction for the MXU bitmap filter:
+// bit index = (h * 0x9E3779B97F4A7C15) >> (64 - log2(bits)).
+// out: n rows x bits/8 bytes (little bit order); coll[g] = size - popcount.
+void rtc_pack_bitmaps_u32(const uint32_t* flat, const int64_t* offs,
+                          int64_t n, int bits, uint8_t* out, int32_t* coll,
+                          int threads) {
+  const int shift = 64 - __builtin_ctz(bits);
+  const int64_t row_bytes = bits / 8;
+#pragma omp parallel for schedule(static) num_threads(threads)
+  for (int64_t g = 0; g < n; ++g) {
+    uint8_t* row = out + g * row_bytes;
+    memset(row, 0, row_bytes);
+    for (int64_t p = offs[g]; p < offs[g + 1]; ++p) {
+      uint64_t b = ((uint64_t)flat[p] * 0x9E3779B97F4A7C15ULL) >> shift;
+      row[b >> 3] |= (uint8_t)(1u << (b & 7));
+    }
+    int pc = 0;
+    for (int64_t k = 0; k < row_bytes; ++k)
+      pc += __builtin_popcount(row[k]);
+    coll[g] = (int32_t)(offs[g + 1] - offs[g]) - pc;
+  }
+}
+
+void rtc_pack_bitmaps_u64(const uint64_t* flat, const int64_t* offs,
+                          int64_t n, int bits, uint8_t* out, int32_t* coll,
+                          int threads) {
+  const int shift = 64 - __builtin_ctz(bits);
+  const int64_t row_bytes = bits / 8;
+#pragma omp parallel for schedule(static) num_threads(threads)
+  for (int64_t g = 0; g < n; ++g) {
+    uint8_t* row = out + g * row_bytes;
+    memset(row, 0, row_bytes);
+    for (int64_t p = offs[g]; p < offs[g + 1]; ++p) {
+      uint64_t b = (flat[p] * 0x9E3779B97F4A7C15ULL) >> shift;
+      row[b >> 3] |= (uint8_t)(1u << (b & 7));
+    }
+    int pc = 0;
+    for (int64_t k = 0; k < row_bytes; ++k)
+      pc += __builtin_popcount(row[k]);
+    coll[g] = (int32_t)(offs[g + 1] - offs[g]) - pc;
+  }
+}
+
 void rtc_count_common_u32(const uint32_t* flat, const int64_t* offs,
                           const int32_t* ii, const int32_t* jj,
                           int64_t npairs, int32_t* out, int threads) {
@@ -809,6 +854,257 @@ void rtc_count_common_u64(const uint64_t* flat, const int64_t* offs,
     out[p] = c;
   }
 }
+
+}  // extern "C" (reopened below after the MST engine internals)
+
+// ---- native MST engine ----------------------------------------------------
+// Full candidate-generation + distance + streaming-Kruskal pipeline over CSR
+// sketches (behavioral spec: reference src/MST.cpp:216-807; written fresh).
+// Work: inverted index via parallel sort of (hash, gid); per-genome
+// epoch-stamped intersection accumulation; per-thread partial MSTs; final
+// merge.  Returns merged MST edges + optional dense/ANI histograms.
+
+namespace {
+
+struct MstOut {
+  std::vector<int32_t> ei, ej;
+  std::vector<double> ed;
+  std::vector<int32_t> dense;   // denseSpan * n (cumulative) if requested
+  std::vector<uint64_t> ani;    // 101 if requested
+};
+
+struct EdgeRec {
+  int32_t i, j;
+  double d;
+};
+
+struct UF {
+  std::vector<int32_t> p;
+  std::vector<int8_t> r;
+  explicit UF(int n) : p(n), r(n, 0) {
+    for (int i = 0; i < n; ++i) p[i] = i;
+  }
+  int find(int x) {
+    while (p[x] != x) {
+      p[x] = p[p[x]];
+      x = p[x];
+    }
+    return x;
+  }
+  bool merge(int a, int b) {
+    a = find(a);
+    b = find(b);
+    if (a == b) return false;
+    if (r[a] < r[b]) std::swap(a, b);
+    p[b] = a;
+    if (r[a] == r[b]) ++r[a];
+    return true;
+  }
+};
+
+static void kruskal_reduce(std::vector<EdgeRec>& edges, int n) {
+  std::sort(edges.begin(), edges.end(), [](const EdgeRec& a, const EdgeRec& b) {
+    if (a.d != b.d) return a.d < b.d;
+    if (a.i != b.i) return a.i < b.i;
+    return a.j < b.j;
+  });
+  UF uf(n);
+  size_t keep = 0;
+  for (size_t k = 0; k < edges.size(); ++k) {
+    if (uf.merge(edges[k].i, edges[k].j)) edges[keep++] = edges[k];
+  }
+  edges.resize(keep);
+}
+
+template <typename HashT>
+MstOut mst_engine(const HashT* flat, const int64_t* offs, int64_t n,
+                  double threshold, int kmer_size, bool containment,
+                  int64_t start_index, bool with_dense, int threads) {
+  MstOut out;
+  if (n < 2) return out;
+  const int dense_span = 100;
+  // 1) inverted index: sort (hash, gid) pairs; postings = runs
+  const int64_t m = offs[n];
+  std::vector<std::pair<HashT, uint32_t>> hv(m);
+#pragma omp parallel for schedule(static) num_threads(threads)
+  for (int64_t g = 0; g < n; ++g)
+    for (int64_t p = offs[g]; p < offs[g + 1]; ++p)
+      hv[p] = {flat[p], (uint32_t)g};
+  std::sort(hv.begin(), hv.end());
+  // run starts per position + per-genome position lists
+  std::vector<int64_t> run_start(m);
+  for (int64_t p = 0; p < m; ++p)
+    run_start[p] = (p > 0 && hv[p].first == hv[p - 1].first)
+                       ? run_start[p - 1] : p;
+  // positions of each genome's hashes in hv (sorted order):
+  // build via counting sort on gid
+  std::vector<int64_t> gcount(n + 1, 0);
+  for (int64_t p = 0; p < m; ++p) gcount[hv[p].second + 1]++;
+  for (int64_t g = 0; g < n; ++g) gcount[g + 1] += gcount[g];
+  std::vector<int64_t> gpos(m);
+  {
+    std::vector<int64_t> cur(gcount.begin(), gcount.end() - 1);
+    for (int64_t p = 0; p < m; ++p) gpos[cur[hv[p].second]++] = p;
+  }
+
+  const int radio = (int)(2.0 * std::exp(threshold * (kmer_size - 1)) - 1.0);
+  const double inv_k = 1.0 / kmer_size;
+
+  std::vector<std::vector<EdgeRec>> thread_edges(threads);
+  std::vector<std::vector<int32_t>> thread_dense;
+  std::vector<std::vector<uint64_t>> thread_ani;
+  if (with_dense) {
+    thread_dense.assign(threads, std::vector<int32_t>(dense_span * n, 0));
+    thread_ani.assign(threads, std::vector<uint64_t>(101, 0));
+  }
+
+#pragma omp parallel num_threads(threads)
+  {
+    int tid = omp_get_thread_num();
+    auto& edges = thread_edges[tid];
+    std::vector<int32_t> inter(n, 0);
+    std::vector<int32_t> stamp(n, 0);
+    int32_t epoch = 0;
+    std::vector<int32_t> touched;
+    touched.reserve(4096);
+    size_t since_reduce = 0;
+
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t i = start_index; i < n; ++i) {
+      const int64_t size0 = offs[i + 1] - offs[i];
+      if (size0 == 0) continue;
+      touched.clear();
+      if (++epoch == INT32_MAX) {
+        std::fill(stamp.begin(), stamp.end(), 0);
+        epoch = 1;
+      }
+      for (int64_t q = gcount[i]; q < gcount[i + 1]; ++q) {
+        int64_t p = gpos[q];
+        for (int64_t r = run_start[p]; r < m && hv[r].first == hv[p].first;
+             ++r) {
+          int32_t cur = (int32_t)hv[r].second;
+          if (cur >= i) break;  // gid ascending within run; only j < i
+          if (stamp[cur] != epoch) {
+            stamp[cur] = epoch;
+            inter[cur] = 1;
+            touched.push_back(cur);
+          } else {
+            inter[cur]++;
+          }
+        }
+      }
+      for (int32_t j : touched) {
+        const int64_t size1 = offs[j + 1] - offs[j];
+        if (size1 == 0) continue;
+        const int64_t mn = size0 < size1 ? size0 : size1;
+        const int64_t mx = size0 > size1 ? size0 : size1;
+        if (mx > (int64_t)radio * mn) continue;
+        const int32_t common = inter[j];
+        double dist;
+        if (!containment) {
+          const int64_t denom = size0 + size1 - common;
+          double jac = denom == 0 ? 0.0 : (double)common / (double)denom;
+          if (jac == 1.0) dist = 0.0;
+          else if (jac == 0.0) dist = 1.0;
+          else dist = -inv_k * std::log(2.0 * jac / (1.0 + jac));
+        } else {
+          double c = mn == 0 ? 0.0 : (double)common / (double)mn;
+          if (c == 1.0) dist = 0.0;
+          else if (c == 0.0) dist = 1.0;
+          else dist = -inv_k * std::log(c);
+        }
+        if (with_dense) {
+          // lower_bound on {0, 0.01, ..., 0.99}
+          int t0 = (int)std::ceil(dist * dense_span - 1e-12);
+          if (t0 < 0) t0 = 0;
+          if (dist <= 0.0) t0 = 0;
+          if (t0 < dense_span) {
+            thread_dense[tid][(size_t)t0 * n + i]++;
+            thread_dense[tid][(size_t)t0 * n + j]++;
+          }
+          int a = (int)((1.0 - dist) * 100.0);
+          if (a >= 101) a = 100;
+          if (a < 0) a = 0;
+          thread_ani[tid][a]++;
+        }
+        edges.push_back({(int32_t)i, j, dist});
+      }
+      since_reduce += touched.size();
+      if (since_reduce > (size_t)(8 * n) && edges.size() > (size_t)(2 * n)) {
+        kruskal_reduce(edges, (int)n);
+        since_reduce = 0;
+      }
+    }
+    kruskal_reduce(edges, (int)n);
+  }
+
+  // merge per-thread partial MSTs
+  std::vector<EdgeRec> all;
+  for (auto& te : thread_edges) {
+    all.insert(all.end(), te.begin(), te.end());
+    te.clear();
+  }
+  kruskal_reduce(all, (int)n);
+  out.ei.reserve(all.size());
+  out.ej.reserve(all.size());
+  out.ed.reserve(all.size());
+  for (auto& e : all) {
+    out.ei.push_back(e.i);
+    out.ej.push_back(e.j);
+    out.ed.push_back(e.d);
+  }
+  if (with_dense) {
+    out.dense.assign((size_t)dense_span * n, 0);
+    out.ani.assign(101, 0);
+    for (int t = 0; t < threads; ++t) {
+      for (size_t k = 0; k < out.dense.size(); ++k)
+        out.dense[k] += thread_dense[t][k];
+      for (int k = 0; k < 101; ++k) out.ani[k] += thread_ani[t][k];
+    }
+    // cumulative over radius buckets
+    for (int64_t g = 0; g < n; ++g) {
+      int32_t acc = 0;
+      for (int t = 0; t < dense_span; ++t) {
+        acc += out.dense[(size_t)t * n + g];
+        out.dense[(size_t)t * n + g] = acc;
+      }
+    }
+  }
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* rtc_mst_u32(const uint32_t* flat, const int64_t* offs, int64_t n,
+                  double threshold, int kmer_size, int containment,
+                  int64_t start_index, int with_dense, int threads) {
+  return new MstOut(mst_engine<uint32_t>(flat, offs, n, threshold, kmer_size,
+                                         containment != 0, start_index,
+                                         with_dense != 0, threads));
+}
+void* rtc_mst_u64(const uint64_t* flat, const int64_t* offs, int64_t n,
+                  double threshold, int kmer_size, int containment,
+                  int64_t start_index, int with_dense, int threads) {
+  return new MstOut(mst_engine<uint64_t>(flat, offs, n, threshold, kmer_size,
+                                         containment != 0, start_index,
+                                         with_dense != 0, threads));
+}
+int64_t rtc_mst_edge_count(void* h) { return (int64_t)((MstOut*)h)->ei.size(); }
+void rtc_mst_edges(void* h, int32_t* ei, int32_t* ej, double* ed) {
+  MstOut* o = (MstOut*)h;
+  memcpy(ei, o->ei.data(), o->ei.size() * 4);
+  memcpy(ej, o->ej.data(), o->ej.size() * 4);
+  memcpy(ed, o->ed.data(), o->ed.size() * 8);
+}
+int32_t rtc_mst_has_dense(void* h) { return ((MstOut*)h)->dense.empty() ? 0 : 1; }
+void rtc_mst_dense(void* h, int32_t* dense, uint64_t* ani) {
+  MstOut* o = (MstOut*)h;
+  memcpy(dense, o->dense.data(), o->dense.size() * 4);
+  memcpy(ani, o->ani.data(), o->ani.size() * 8);
+}
+void rtc_mst_free(void* h) { delete (MstOut*)h; }
 
 // ---- file size pre-scan (calSize equivalent: parse for true lengths) ------
 

@@ -178,3 +178,74 @@ def greedy_cluster(
         clusters.append([int(order[rep])] + [int(order[m]) for m in members[cid]])
     reps_orig = [int(order[r]) for r in representatives]
     return GreedyResult(clusters=clusters, representatives=reps_orig, order=order)
+
+
+def greedy_cluster_batched(
+    hashes: List[np.ndarray],
+    threshold: float,
+    kmer_size: int,
+    batch_size: int = 64,
+    presorted: bool = False,
+) -> GreedyResult:
+    """Batched greedy variant (reference
+    KssdGreedyClusterWithInvertedIndexBatched, greedy.cpp:1412-1543):
+    each batch matches against the representative index snapshot in
+    parallel (min exact distance <= threshold); conflicts are resolved by
+    inserting results in distance-descending order, so would-be
+    representatives are registered before closer matches are assigned.
+    """
+    n = len(hashes)
+    if n == 0:
+        return GreedyResult([], [], np.empty(0, dtype=np.int64))
+    if presorted:
+        order = np.arange(n, dtype=np.int64)
+        inv = list(hashes)
+    else:
+        sizes0 = np.array([len(h) for h in hashes], dtype=np.int64)
+        order = np.lexsort((np.arange(n), -sizes0))
+        inv = [hashes[i] for i in order]
+    sizes = np.array([len(h) for h in inv], dtype=np.int64)
+
+    index = RepInvertedIndex()
+    rep_order: List[int] = [0]
+    members: Dict[int, List[int]] = {0: []}
+    index.add_representative(0, inv[0])
+
+    def mash(common, s0, s1):
+        denom = s0 + s1 - common
+        if s0 == 0 or s1 == 0 or denom == 0:
+            return 1.0
+        j = common / denom
+        if j == 1.0:
+            return 0.0
+        if j == 0.0:
+            return 1.0
+        d = -math.log(2 * j / (1.0 + j)) / kmer_size
+        return min(d, 1.0)
+
+    for b0 in range(1, n, batch_size):
+        b1 = min(b0 + batch_size, n)
+        results = []
+        for j in range(b0, b1):
+            touched, counts = index.probe(inv[j])
+            best_d, best_rep = float("inf"), -1
+            for rep_id, common in zip(touched, counts):
+                d = mash(common, int(sizes[j]), int(sizes[rep_id]))
+                if d <= threshold and d < best_d:
+                    best_d, best_rep = d, rep_id
+            results.append((j, best_d, best_rep))
+        # distance-descending conflict resolution (ties: stable)
+        results.sort(key=lambda t: -t[1])
+        for j, _d, rep in results:
+            if rep != -1:
+                members[rep].append(j)
+            else:
+                rep_order.append(j)
+                members[j] = []
+                index.add_representative(j, inv[j])
+
+    clusters = [[int(order[r])] + [int(order[m]) for m in members[r]]
+                for r in rep_order]
+    reps_orig = [int(order[r]) for r in rep_order]
+    return GreedyResult(clusters=clusters, representatives=reps_orig,
+                        order=order)

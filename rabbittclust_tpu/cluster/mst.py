@@ -174,13 +174,27 @@ def compute_mst(
     start_index: int = 0,
     with_dense: bool = False,
     pre_edges: Optional[Edges] = None,
+    backend: str = "auto",
 ) -> MstResult:
     """Full MST over candidate pairs (reference compute_kssd_mst semantics).
 
     ``pre_edges``: existing MST edges to merge (append mode,
-    src/sub_command.cpp:1450-1457).
+    src/sub_command.cpp:1450-1457).  ``backend``: "auto" uses the native
+    C++/OpenMP engine when available, "numpy" forces the vectorized host
+    path (both produce identical MSTs modulo tie order).
     """
     n = len(hashes)
+    if backend == "auto" and n >= 2:
+        from ..utils import native as native_mod
+        import os as _os
+        res = native_mod.native_mst(hashes, threshold, kmer_size,
+                                    is_containment, start_index, with_dense,
+                                    _os.cpu_count() or 1)
+        if res is not None:
+            (mst, dense, ani) = res
+            if pre_edges is not None and len(pre_edges[0]):
+                mst = kruskal(concat_edges([pre_edges, mst]), n)
+            return MstResult(mst=mst, n=n, dense=dense, ani=ani)
     sizes = np.array([len(h) for h in hashes], dtype=np.int64)
     radio = size_ratio_limit(threshold, kmer_size - 1)
 

@@ -33,3 +33,14 @@ class UnionFind:
         if self.rank[ra] == self.rank[rb]:
             self.rank[ra] += 1
         return ra
+
+    def roots_array(self) -> np.ndarray:
+        """Vectorized full path compression; returns root per element."""
+        p = self.parent
+        while True:
+            gp = p[p]
+            if np.array_equal(gp, p):
+                break
+            p = gp
+        self.parent = p.copy()
+        return p

@@ -53,14 +53,56 @@ def pack_bitmaps(hashes: List[np.ndarray], bits: int = 8192,
     return x, coll
 
 
+def pack_bitmaps_packed(hashes: List[np.ndarray], bits: int = 8192,
+                        pad_n_to: int = 128
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Bit-packed signatures: (uint8 (N_pad, bits//8), collisions int32).
+    Native C++ fast path; same bit layout as np.packbits(bitorder='little')
+    of pack_bitmaps output."""
+    import os
+    n = len(hashes)
+    n_pad = max(((n + pad_n_to - 1) // pad_n_to) * pad_n_to, pad_n_to)
+    lib = native_mod.load_native()
+    if lib is None or n == 0:
+        x, coll = pack_bitmaps(hashes, bits=bits, pad_n_to=pad_n_to)
+        return np.packbits(x, axis=1, bitorder="little"), coll
+    use64 = hashes[0].dtype == np.uint64
+    flat = np.concatenate(hashes).astype(np.uint64 if use64 else np.uint32)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(h) for h in hashes], out=offs[1:])
+    out = np.zeros((n_pad, bits // 8), dtype=np.uint8)
+    coll = np.zeros(n_pad, dtype=np.int32)
+    fn = lib.rtc_pack_bitmaps_u64 if use64 else lib.rtc_pack_bitmaps_u32
+    fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                   ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+                   ctypes.c_int]
+    fn(flat.ctypes.data, offs.ctypes.data, n, bits, out.ctypes.data,
+       coll.ctypes.data, os.cpu_count() or 1)
+    return out, coll
+
+
+def _unpack_bits_device(xp):
+    """(N, B//8) uint8 -> (N, B) int8 of 0/1 on device."""
+    import jax.numpy as jnp
+
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (xp[:, :, None] >> shifts[None, None, :]) & jnp.uint8(1)
+    return bits.reshape(xp.shape[0], -1).astype(jnp.int8)
+
+
 def _filter_block_fn(xi, x, ci, c, si, s, row_start, jmin_num, jmin_den,
-                     c_min, radio, is_containment):
+                     c_min, radio, is_containment, cap):
     """Device: shared-bit counts + safe candidate mask for one row block.
 
-    Returns a packed uint32 bitmask of shape (GI, N//32)."""
+    ``xi``/``x`` are bit-packed uint8 signatures (transferred 8x smaller and
+    unpacked on device).  Returns (flat candidate indices padded with -1,
+    shared-bit values, true candidate count); the index of pair
+    (local_i, j) is local_i * N + j."""
     import jax
     import jax.numpy as jnp
 
+    xi = _unpack_bits_device(xi)
+    x = _unpack_bits_device(x)
     shared = jax.lax.dot_general(
         xi, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
     si_c = si[:, None].astype(jnp.float32)
@@ -82,17 +124,20 @@ def _filter_block_fn(xi, x, ci, c, si, s, row_start, jmin_num, jmin_den,
     jidx = jax.lax.broadcasted_iota(jnp.int32, (gi, n), 1)
     iidx = jax.lax.broadcasted_iota(jnp.int32, (gi, n), 0) + row_start
     mask = (shared >= thresh) & ratio_ok & (jidx < iidx)
-    # pack to uint32 along axis 1
-    m = mask.reshape(gi, n // 32, 32).astype(jnp.uint32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-    return jnp.sum(m * weights[None, None, :], axis=-1, dtype=jnp.uint32)
+    # device-side compaction, one fused minimal int32 result
+    # [count, flat_idx(cap)].  The remote tunnel charges ~0.6 s latency per
+    # device->host pull and has low bandwidth, so everything returns in ONE
+    # array (never read the count as a separate scalar!).
+    count = jnp.sum(mask, dtype=jnp.int32)
+    (flat_idx,) = jnp.nonzero(mask.reshape(-1), size=cap, fill_value=-1)
+    return jnp.concatenate([count[None], flat_idx.astype(jnp.int32)])
 
 
 @functools.lru_cache(maxsize=1)
 def _jitted_filter():
     import jax
     return jax.jit(_filter_block_fn,
-                   static_argnames=("is_containment",))
+                   static_argnames=("is_containment", "cap"))
 
 
 def candidate_pairs_threshold(
@@ -102,44 +147,52 @@ def candidate_pairs_threshold(
     is_containment: bool = False,
     bits: int = 8192,
     row_block: int = 1024,
+    return_shared: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All pairs (i > j) that can possibly have distance <= threshold, with
     exact common counts.  Returns (i, j, common) — every returned pair passed
     the size-ratio filter and common >= 1; callers apply the distance.
+    With ``return_shared`` the third column is the (approximate) shared-bit
+    count instead and no exact verification is performed.
     """
     import jax.numpy as jnp
     from ..utils.jaxcfg import configure_jax
     configure_jax()
 
     n = len(hashes)
-    x, coll = pack_bitmaps(hashes, bits=bits, pad_n_to=128)
-    n_pad = x.shape[0]
+    xp, coll = pack_bitmaps_packed(hashes, bits=bits, pad_n_to=128)
+    n_pad = xp.shape[0]
     sizes = np.zeros(n_pad, dtype=np.int32)
     sizes[:n] = [len(h) for h in hashes]
     j_min = min_jaccard_for_threshold(threshold, kmer_size)
     c_min = math.exp(-threshold * kmer_size)
     radio = size_ratio_limit(threshold, kmer_size - 1)
 
-    xd = jnp.asarray(x)
+    xd = jnp.asarray(xp)  # 8x smaller transfer; unpacked on device
     cd = jnp.asarray(coll)
     sd = jnp.asarray(sizes)
     filt = _jitted_filter()
+    cap = max(1 << 20, 64 * n_pad)
 
     cand_i: List[np.ndarray] = []
     cand_j: List[np.ndarray] = []
     for r0 in range(0, n_pad, row_block):
         gi = min(row_block, n_pad - r0)
-        packed_mask = np.asarray(filt(
-            xd[r0:r0 + gi], xd, cd[r0:r0 + gi], cd, sd[r0:r0 + gi], sd,
-            jnp.int32(r0), jnp.float32(j_min), jnp.float32(1.0 + j_min),
-            jnp.float32(c_min), jnp.int32(radio), is_containment))
-        bitsarr = np.unpackbits(
-            np.ascontiguousarray(packed_mask).view(np.uint8),
-            bitorder="little").reshape(gi, n_pad)
-        ii_l, jj = np.nonzero(bitsarr)
-        if len(ii_l):
-            cand_i.append((ii_l + r0).astype(np.int64))
-            cand_j.append(jj.astype(np.int64))
+        cur_cap = cap
+        while True:
+            fused = np.asarray(filt(
+                xd[r0:r0 + gi], xd, cd[r0:r0 + gi], cd, sd[r0:r0 + gi], sd,
+                jnp.int32(r0), jnp.float32(j_min), jnp.float32(1.0 + j_min),
+                jnp.float32(c_min), jnp.int32(radio), is_containment,
+                cur_cap))
+            count = int(fused[0])
+            if count <= cur_cap:
+                break
+            cur_cap *= 4  # rare: recompile with a larger compaction buffer
+        if count:
+            idx = fused[1:1 + count].astype(np.int64)
+            cand_i.append(idx // n_pad + r0)
+            cand_j.append(idx % n_pad)
     if not cand_i:
         empty = np.empty(0, dtype=np.int64)
         return empty, empty.copy(), np.empty(0, dtype=np.int64)
@@ -147,37 +200,55 @@ def candidate_pairs_threshold(
     jj = np.concatenate(cand_j)
     keep = ii < n  # drop padded rows
     ii, jj = ii[keep], jj[keep]
+    if return_shared:
+        # third column kept for API compatibility (candidate rank order)
+        return ii, jj, np.zeros(len(ii), dtype=np.int64)
     common = exact_common_counts(hashes, ii, jj)
     nz = common > 0
     return ii[nz], jj[nz], common[nz].astype(np.int64)
+
+
+class CsrSketches:
+    """Flattened CSR view of a sketch list, built once and reused across
+    exact-verification calls."""
+
+    def __init__(self, hashes: List[np.ndarray]):
+        self.n = len(hashes)
+        self.use64 = self.n > 0 and hashes[0].dtype == np.uint64
+        self.flat = (np.concatenate(hashes).astype(
+            np.uint64 if self.use64 else np.uint32)
+            if self.n else np.empty(0, dtype=np.uint32))
+        self.offs = np.zeros(self.n + 1, dtype=np.int64)
+        if self.n:
+            np.cumsum([len(h) for h in hashes], out=self.offs[1:])
+
+    def count_common(self, ii: np.ndarray, jj: np.ndarray,
+                     threads: int = 0) -> np.ndarray:
+        import os
+        out = np.zeros(len(ii), dtype=np.int32)
+        if len(ii) == 0:
+            return out
+        lib = native_mod.load_native()
+        if lib is None:
+            o = self.offs
+            f = self.flat
+            for p in range(len(ii)):
+                a = f[o[ii[p]]:o[ii[p] + 1]]
+                b = f[o[jj[p]]:o[jj[p] + 1]]
+                out[p] = len(np.intersect1d(a, b, assume_unique=True))
+            return out
+        fn = (lib.rtc_count_common_u64 if self.use64
+              else lib.rtc_count_common_u32)
+        ii32 = np.ascontiguousarray(ii, dtype=np.int32)
+        jj32 = np.ascontiguousarray(jj, dtype=np.int32)
+        fn(self.flat.ctypes.data, self.offs.ctypes.data, ii32.ctypes.data,
+           jj32.ctypes.data, len(ii), out.ctypes.data,
+           threads or (os.cpu_count() or 1))
+        return out
 
 
 def exact_common_counts(hashes: List[np.ndarray], ii: np.ndarray,
                         jj: np.ndarray, threads: int = 0) -> np.ndarray:
     """Exact |A_i ∩ A_j| for candidate pairs (native two-pointer;
     NumPy fallback)."""
-    import os
-    out = np.zeros(len(ii), dtype=np.int32)
-    if len(ii) == 0:
-        return out
-    use64 = hashes[0].dtype == np.uint64
-    lib = native_mod.load_native()
-    if lib is not None:
-        flat = np.concatenate(hashes).astype(
-            np.uint64 if use64 else np.uint32)
-        offs = np.zeros(len(hashes) + 1, dtype=np.int64)
-        np.cumsum([len(h) for h in hashes], out=offs[1:])
-        fn = lib.rtc_count_common_u64 if use64 else lib.rtc_count_common_u32
-        fn.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
-        ii32 = ii.astype(np.int32)
-        jj32 = jj.astype(np.int32)
-        fn(flat.ctypes.data, offs.ctypes.data, ii32.ctypes.data,
-           jj32.ctypes.data, len(ii), out.ctypes.data,
-           threads or (os.cpu_count() or 1))
-        return out
-    for p in range(len(ii)):
-        out[p] = len(np.intersect1d(hashes[int(ii[p])], hashes[int(jj[p])],
-                                    assume_unique=True))
-    return out
+    return CsrSketches(hashes).count_common(ii, jj, threads)

@@ -333,3 +333,48 @@ def save_ani(folder: str, ani: np.ndarray) -> None:
 def load_ani(folder: str) -> np.ndarray:
     with open(os.path.join(folder, "mst.ani"), "rb") as f:
         return np.frombuffer(f.read(101 * 8), dtype="<u8").copy()
+
+
+# ---------------------------------------------------------------------------
+# MinHash inverted index (minhash.sketch.index, MHIDX001 magic;
+# reference SketchInfo.h:95-161)
+# ---------------------------------------------------------------------------
+
+def save_minhash_index(hashes: List[np.ndarray], folder: str) -> None:
+    ensure_folder(folder)
+    from ..cluster.mst import flatten_sketches
+    hv, gid = flatten_sketches(hashes)
+    order = np.argsort(hv, kind="stable")
+    hv_s, gid_s = hv[order], gid[order]
+    path = os.path.join(folder, "minhash.sketch.index")
+    with open(path, "wb") as f:
+        f.write(b"MHIDX001")
+        if len(hv_s):
+            starts = np.flatnonzero(np.r_[True, hv_s[1:] != hv_s[:-1]])
+            sizes = np.diff(np.r_[starts, len(hv_s)])
+            f.write(struct.pack("<Q", len(starts)))
+            for st, sz in zip(starts.tolist(), sizes.tolist()):
+                f.write(struct.pack("<Q", int(hv_s[st])))
+                f.write(struct.pack("<I", sz))
+                f.write(gid_s[st:st + sz].astype("<u4").tobytes())
+        else:
+            f.write(struct.pack("<Q", 0))
+    print(f"-----MinHash inverted index saved: {path}", file=sys.stderr)
+
+
+def load_minhash_index(folder: str) -> dict:
+    path = os.path.join(folder, "minhash.sketch.index")
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:8] != b"MHIDX001":
+        raise ValueError(f"bad MinHash index magic in {path}")
+    off = 8
+    (n,) = struct.unpack_from("<Q", data, off); off += 8
+    idx = {}
+    for _ in range(n):
+        (h,) = struct.unpack_from("<Q", data, off); off += 8
+        (m,) = struct.unpack_from("<I", data, off); off += 4
+        idx[h] = np.frombuffer(data, dtype="<u4", count=m,
+                               offset=off).tolist()
+        off += 4 * m
+    return idx

@@ -94,7 +94,67 @@ def load_native():
     lib.rtc_kssd_destroy.argtypes = [ctypes.c_void_p]
     lib.rtc_scan_lengths.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, _c_i64p, ctypes.c_int]
+    for fn in ("rtc_mst_u32", "rtc_mst_u64"):
+        getattr(lib, fn).restype = ctypes.c_void_p
+        getattr(lib, fn).argtypes = [
+            ctypes.c_void_p, _c_i64p, ctypes.c_int64, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int]
+    lib.rtc_mst_edge_count.restype = ctypes.c_int64
+    lib.rtc_mst_edge_count.argtypes = [ctypes.c_void_p]
+    lib.rtc_mst_edges.argtypes = [ctypes.c_void_p, _c_i32p, _c_i32p,
+                                  ctypes.POINTER(ctypes.c_double)]
+    lib.rtc_mst_has_dense.restype = ctypes.c_int32
+    lib.rtc_mst_has_dense.argtypes = [ctypes.c_void_p]
+    lib.rtc_mst_dense.argtypes = [ctypes.c_void_p, _c_i32p, _c_u64p]
+    lib.rtc_mst_free.argtypes = [ctypes.c_void_p]
+    for fn in ("rtc_count_common_u32", "rtc_count_common_u64"):
+        getattr(lib, fn).argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
     return lib
+
+
+def native_mst(hashes, threshold: float, kmer_size: int,
+               is_containment: bool, start_index: int, with_dense: bool,
+               threads: int):
+    """Run the native MST engine over CSR sketches; returns
+    (edges(i,j,d), dense|None, ani|None) or None if unavailable."""
+    lib = load_native()
+    if lib is None:
+        return None
+    n = len(hashes)
+    use64 = n > 0 and hashes[0].dtype == np.uint64
+    flat = np.concatenate(hashes).astype(np.uint64 if use64 else np.uint32) \
+        if n else np.empty(0, dtype=np.uint32)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    if n:
+        np.cumsum([len(h) for h in hashes], out=offs[1:])
+    fn = lib.rtc_mst_u64 if use64 else lib.rtc_mst_u32
+    h = fn(flat.ctypes.data, offs.ctypes.data_as(_c_i64p), n,
+           float(threshold), int(kmer_size), int(is_containment),
+           int(start_index), int(with_dense), int(threads))
+    try:
+        m = int(lib.rtc_mst_edge_count(h))
+        ei = np.empty(m, dtype=np.int32)
+        ej = np.empty(m, dtype=np.int32)
+        ed = np.empty(m, dtype=np.float64)
+        if m:
+            lib.rtc_mst_edges(h, ei.ctypes.data_as(_c_i32p),
+                              ej.ctypes.data_as(_c_i32p),
+                              ed.ctypes.data_as(
+                                  ctypes.POINTER(ctypes.c_double)))
+        dense = ani = None
+        if with_dense and lib.rtc_mst_has_dense(h):
+            dense = np.empty(100 * n, dtype=np.int32)
+            ani = np.empty(101, dtype=np.uint64)
+            lib.rtc_mst_dense(h, dense.ctypes.data_as(_c_i32p),
+                              ani.ctypes.data_as(_c_u64p))
+            dense = dense.reshape(100, n).astype(np.int64)
+            ani = ani.astype(np.int64)
+        return ((ei.astype(np.int64), ej.astype(np.int64), ed), dense, ani)
+    finally:
+        lib.rtc_mst_free(h)
 
 
 def have_native() -> bool:

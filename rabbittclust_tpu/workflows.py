@@ -452,6 +452,7 @@ def clust_from_genomes(input_file: str, output_file: str,
         sketch_io.save_minhash_sketches(ss, folder, kmer_size,
                                         is_containment, contain_compress,
                                         sketch_size)
+        sketch_io.save_minhash_index(ss.hashes, folder)
     return compute_minhash_clusters(ss, p, threshold, threads, output_file,
                                     opts, folder, module)
 

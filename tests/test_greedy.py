@@ -54,3 +54,22 @@ def test_greedy_containment_mode(synthetic_genomes):
     res = greedy_cluster(ss.hashes, 0.05, p.kmer_size, is_containment=True)
     labels = clusters_to_labels(res.clusters, len(ss))
     assert same_partition(labels, synthetic_genomes.labels)
+
+
+def test_greedy_batched_purity(synthetic_genomes):
+    """Batched greedy (reference KssdGreedyClusterWithInvertedIndexBatched)
+    can split clusters across batch boundaries (members of one batch never
+    see each other as representatives), but every produced cluster must be
+    pure, and large batches converge to the serial result."""
+    from rabbittclust_tpu.cluster.greedy import greedy_cluster_batched
+    ss, p = sketch_files_kssd(synthetic_genomes.files, min_len=1000,
+                              kmer_size=19, drlevel=2)
+    res = greedy_cluster_batched(ss.hashes, 0.05, p.kmer_size, batch_size=4)
+    labels = synthetic_genomes.labels
+    for cl in res.clusters:
+        assert len({labels[g] for g in cl}) == 1  # purity
+    # batch of 1 degenerates to the serial algorithm's partition
+    res1 = greedy_cluster_batched(ss.hashes, 0.05, p.kmer_size, batch_size=1)
+    ser = greedy_cluster(ss.hashes, 0.05, p.kmer_size)
+    assert {frozenset(c) for c in res1.clusters} == \
+        {frozenset(c) for c in ser.clusters}
