@@ -137,3 +137,133 @@ def distributed_candidate_stats(packed_plane0: np.ndarray,
         jnp.asarray(packed_plane0), jnp.asarray(sizes.astype(np.int32)),
         jnp.asarray(row_ids))
     return int(np.asarray(total)), float(np.asarray(min_d))
+
+
+def build_ring_edges_fn(threshold: float, kmer_size: int, radio: int,
+                        cap: int):
+    """shard_map-able ring that EXTRACTS candidate edges exactly.
+
+    Each device emits, per ring step, a fused int32 block
+    [count, local_i*N_total + j (cap entries), common (cap entries)] for
+    pairs (global_i > global_j) passing the candidate + size-ratio filters.
+    Counts are exact (bucket-packed compare), so the host computes float64
+    distances from them directly and merges per-shard partial MSTs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def ring_fn(rows0, sizes, row_ids):
+        n_dev = jax.lax.axis_size("data")
+
+        def step(carry, _):
+            visiting0, vis_sizes, vis_ids = carry
+            counts = _counts_block(rows0, visiting0)
+            s0 = sizes[:, None]
+            s1 = vis_sizes[None, :]
+            mn = jnp.minimum(s0, s1)
+            mx = jnp.maximum(s0, s1)
+            ok = (counts > 0) & (mn > 0) & (mx <= radio * mn)
+            ok &= row_ids[:, None] > vis_ids[None, :]
+            cnt = jnp.sum(ok, dtype=jnp.int32)
+            (flat,) = jnp.nonzero(ok.reshape(-1), size=cap, fill_value=-1)
+            flat = flat.astype(jnp.int32)
+            li = flat // counts.shape[1]
+            vj = flat % counts.shape[1]
+            gid_i = jnp.where(flat >= 0, jnp.take(row_ids, li), -1)
+            gid_j = jnp.where(flat >= 0, jnp.take(vis_ids, vj), -1)
+            common = jnp.where(
+                flat >= 0,
+                jnp.take(counts.reshape(-1), jnp.maximum(flat, 0)), 0)
+            perm = [(k, (k + 1) % n_dev) for k in range(n_dev)]
+            visiting0 = jax.lax.ppermute(visiting0, "data", perm)
+            vis_sizes = jax.lax.ppermute(vis_sizes, "data", perm)
+            vis_ids = jax.lax.ppermute(vis_ids, "data", perm)
+            fused = jnp.concatenate(
+                [cnt[None], gid_i, gid_j, common.astype(jnp.int32)])
+            return (visiting0, vis_sizes, vis_ids), fused
+
+        init = (rows0, sizes, row_ids)
+        _, out = jax.lax.scan(step, init, None, length=n_dev)
+        return out  # (n_dev_steps, 1 + 3*cap)
+
+    return ring_fn
+
+
+def distributed_candidate_edges(packed_plane0: np.ndarray,
+                                sizes: np.ndarray, threshold: float,
+                                kmer_size: int, mesh=None, cap: int = 4096):
+    """Exact candidate edges (i, j, common) across the mesh, every pair
+    covered exactly once (pair ownership: global_i > global_j)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ..distance.mash import size_ratio_limit
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    n = packed_plane0.shape[0]
+    assert n % n_dev == 0, (n, n_dev)
+    radio = size_ratio_limit(threshold, kmer_size - 1)
+    ring_fn = build_ring_edges_fn(threshold, kmer_size, radio, cap)
+    fn = shard_map(ring_fn, mesh=mesh,
+                   in_specs=(P("data"), P("data"), P("data")),
+                   out_specs=P("data"), check_rep=False)
+    row_ids = np.arange(n, dtype=np.int32)
+    out = np.asarray(jax.jit(fn)(
+        jnp.asarray(packed_plane0),
+        jnp.asarray(sizes.astype(np.int32)),
+        jnp.asarray(row_ids)))
+    # out: (n_dev * n_steps, 1 + 3*cap); decode every block
+    ii_all, jj_all, cc_all = [], [], []
+    for block in out.reshape(-1, 1 + 3 * cap):
+        cnt = int(block[0])
+        if cnt > cap:
+            raise RuntimeError(
+                f"ring edge buffer overflow ({cnt} > {cap}); raise cap")
+        if cnt:
+            ii_all.append(block[1:1 + cnt].astype(np.int64))
+            jj_all.append(block[1 + cap:1 + cap + cnt].astype(np.int64))
+            cc_all.append(block[1 + 2 * cap:1 + 2 * cap + cnt].astype(np.int64))
+    if not ii_all:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), e.copy()
+    return (np.concatenate(ii_all), np.concatenate(jj_all),
+            np.concatenate(cc_all))
+
+
+def distributed_mst(hashes, threshold: float, kmer_size: int,
+                    is_containment: bool = False, mesh=None,
+                    cap: int = 4096):
+    """Exact MST over a device mesh: ring-extracted candidate edges ->
+    float64 distances on host -> Kruskal (edge-partition MST theorem)."""
+    from ..ops.pack import pack_sketches
+    from ..cluster.mst import MstResult, kruskal
+    from ..distance.mash import aaf_distance, mash_distance
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    n = len(hashes)
+    use64 = n > 0 and hashes[0].dtype == np.uint64
+    pad = ((n + n_dev - 1) // n_dev) * n_dev
+    packed = pack_sketches(hashes, use64, pad_n_to=max(pad, n_dev))
+    if packed.plane1 is not None:
+        raise NotImplementedError(
+            "distributed MST currently supports 32-bit KSSD hashes")
+    np_pad = packed.plane0.shape[0]
+    # re-pad rows to exactly pad (pack may round further; slice)
+    plane0 = packed.plane0[:pad] if np_pad >= pad else packed.plane0
+    sizes = packed.sizes[:plane0.shape[0]]
+    ii, jj, common = distributed_candidate_edges(
+        plane0, sizes, threshold, kmer_size, mesh=mesh, cap=cap)
+    keep = (ii < n) & (jj < n)
+    ii, jj, common = ii[keep], jj[keep], common[keep]
+    s = np.array([len(h) for h in hashes], dtype=np.int64)
+    if is_containment:
+        d = aaf_distance(common, s[ii], s[jj], kmer_size)
+    else:
+        d = mash_distance(common, s[ii], s[jj], kmer_size)
+    mst = kruskal((ii, jj, d), n)
+    return MstResult(mst=mst, n=n)

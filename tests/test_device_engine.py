@@ -178,3 +178,24 @@ def test_multichip_ring(synthetic_genomes):
         expect += int((ok & (d <= 0.05)).sum())
     assert total == expect
     assert 0.0 <= min_d <= 1.0
+
+
+def test_distributed_mst_exact(synthetic_genomes):
+    """Ring-sharded distributed MST == host MST (edge-partition theorem)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rabbittclust_tpu.sketch.kssd import sketch_files_kssd
+    from rabbittclust_tpu.parallel.dist_engine import distributed_mst, make_mesh
+    from rabbittclust_tpu.cluster.mst import (
+        compute_mst, cut_forest, clusters_from_forest)
+    ss, p = sketch_files_kssd(synthetic_genomes.files[:16], min_len=1000,
+                              kmer_size=19, drlevel=2)
+    res_d = distributed_mst(ss.hashes, 0.05, p.kmer_size, mesh=make_mesh(8))
+    res_h = compute_mst(ss.hashes, 0.05, p.kmer_size)
+    ed = sorted((min(a, b), max(a, b)) for a, b in zip(*res_d.mst[:2]))
+    eh = sorted((min(a, b), max(a, b)) for a, b in zip(*res_h.mst[:2]))
+    assert ed == eh
+    cd = clusters_from_forest(cut_forest(res_d.mst, 0.05), 16)
+    ch = clusters_from_forest(cut_forest(res_h.mst, 0.05), 16)
+    assert cd == ch
