@@ -1,0 +1,24 @@
+#!/bin/bash
+# Build the reference RabbitTClust binaries as golden-test oracles.
+# Sources stay in /root/reference (read-only); the absent RabbitSketch
+# submodule is replaced by our functional stub Sketch.h; output goes to the
+# (gitignored) .cache/ref_build folder.
+set -e
+REF=${REF:-/root/reference}
+HERE="$(cd "$(dirname "$0")" && pwd)"
+OUT=${OUT:-$HERE/../../.cache/ref_build}
+mkdir -p "$OUT"
+
+CXXFLAGS="-O2 -std=c++17 -fopenmp -Wno-format -Wno-unused-result -w -I$HERE -I$REF/src"
+SRCS="$REF/src/main.cpp $REF/src/SketchInfo.cpp $REF/src/MST.cpp \
+      $REF/src/MST_IO.cpp $REF/src/Sketch_IO.cpp $REF/src/sub_command.cpp \
+      $REF/src/cluster_postprocess.cpp $REF/src/mst_state.cpp"
+
+# clust-mst (default flavor)
+g++ $CXXFLAGS -D Timer -o "$OUT/clust-mst" $SRCS -lz -lgomp -lpthread
+
+# clust-greedy
+g++ $CXXFLAGS -D Timer -D GREEDY_CLUST -o "$OUT/clust-greedy" $SRCS \
+    "$REF/src/greedy.cpp" -lz -lgomp -lpthread
+
+echo "oracle binaries in $OUT"

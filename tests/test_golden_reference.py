@@ -1,0 +1,154 @@
+"""Golden parity tests against the ACTUAL reference binaries.
+
+The reference is compiled from /root/reference with our functional stub for
+the absent RabbitSketch submodule (tests/reference_oracle/).  These tests
+assert BYTE-IDENTICAL outputs between the reference and rabbittclust_tpu:
+cluster files, persisted sketches, MST edges, trees, linkage matrices, and
+cross-tool consumption of each other's run folders.
+
+Reference is run with -t 1: its genome IDs come from OpenMP completion
+order, which is only deterministic single-threaded (acknowledged in the
+reference's version_history/history.md).
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+ORACLE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".cache", "ref_build")
+BUILD_SCRIPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "reference_oracle", "build_oracle.sh")
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    mst = os.path.join(ORACLE_DIR, "clust-mst")
+    greedy = os.path.join(ORACLE_DIR, "clust-greedy")
+    if not (os.path.exists(mst) and os.path.exists(greedy)):
+        if not os.path.exists("/root/reference/src/main.cpp"):
+            pytest.skip("reference sources unavailable")
+        r = subprocess.run(["bash", BUILD_SCRIPT], capture_output=True,
+                           text=True)
+        if r.returncode != 0:
+            pytest.skip(f"oracle build failed: {r.stderr[-500:]}")
+    return {"mst": mst, "greedy": greedy}
+
+
+@pytest.fixture(scope="module")
+def genomes(tmp_path_factory):
+    from tests.helpers import make_clustered_genomes
+    tmp = tmp_path_factory.mktemp("golden")
+    return make_clustered_genomes(tmp, n_clusters=3, per_cluster=4,
+                                  length=25000, mutation=0.008, seed=42)
+
+
+def run_ref(oracle, tool, args, cwd):
+    r = subprocess.run([oracle[tool], *args, "-t", "1"], cwd=cwd,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-1500:]
+
+
+def run_ours(module, args, cwd):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-m",
+                        f"rabbittclust_tpu.cli.{module}", *args], cwd=cwd,
+                       capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr[-1500:]
+
+
+def _run_folder(d):
+    runs = [x for x in os.listdir(d) if x.startswith("20")]
+    assert len(runs) == 1, runs
+    return os.path.join(d, runs[0])
+
+
+def same_bytes(a, b):
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        return fa.read() == fb.read()
+
+
+@pytest.fixture(scope="module")
+def fresh_runs(oracle, genomes, tmp_path_factory):
+    """One reference run + one of ours at d=0.05 in separate folders."""
+    base = tmp_path_factory.mktemp("runs")
+    ref_d = base / "ref"
+    our_d = base / "our"
+    ref_d.mkdir()
+    our_d.mkdir()
+    run_ref(oracle, "mst", ["--fast", "-l", "-i", genomes.list_file,
+                            "-o", "r.cluster", "-d", "0.05"], str(ref_d))
+    time.sleep(1.1)  # distinct run-folder timestamps
+    run_ours("clust_mst", ["--fast", "-l", "-i", genomes.list_file,
+                           "-o", "o.cluster", "-d", "0.05"], str(our_d))
+    return {"ref": str(ref_d), "our": str(our_d)}
+
+
+def test_mst_cluster_byte_identical(fresh_runs):
+    assert same_bytes(os.path.join(fresh_runs["ref"], "r.cluster"),
+                      os.path.join(fresh_runs["our"], "o.cluster"))
+
+
+def test_persisted_artifacts_byte_identical(fresh_runs):
+    rf = _run_folder(fresh_runs["ref"])
+    of = _run_folder(fresh_runs["our"])
+    for f in ("kssd.hash.sketch", "kssd.info.sketch", "edge.mst"):
+        assert same_bytes(os.path.join(rf, f), os.path.join(of, f)), f
+    # index/dict files are semantically identical but entry order differs
+    # (reference: hash-map iteration order; ours: sorted) — sizes must match
+    for f in ("kssd.sketch.index", "kssd.sketch.dict"):
+        assert os.path.getsize(os.path.join(rf, f)) == \
+            os.path.getsize(os.path.join(of, f)), f
+
+
+def test_premsted_trees_linkage_identical(oracle, fresh_runs):
+    rf = _run_folder(fresh_runs["ref"])
+    of = _run_folder(fresh_runs["our"])
+    run_ref(oracle, "mst", ["--fast", "--premsted", rf, "-o", "rp.cluster",
+                            "-d", "0.03", "--newick-tree", "--phylip-tree",
+                            "--nexus-tree", "--linkage-matrix"],
+            fresh_runs["ref"])
+    run_ours("clust_mst", ["--fast", "--premsted", of, "-o", "op.cluster",
+                           "-d", "0.03", "--newick-tree", "--phylip-tree",
+                           "--nexus-tree", "--linkage-matrix"],
+             fresh_runs["our"])
+    for rext, oext in [("rp.cluster", "op.cluster"),
+                       ("rp.cluster.newick.tree", "op.cluster.newick.tree"),
+                       ("rp.cluster.phylip.tree", "op.cluster.phylip.tree"),
+                       ("rp.cluster.nexus.tree", "op.cluster.nexus.tree"),
+                       ("rp.cluster.linkage.txt", "op.cluster.linkage.txt")]:
+        assert same_bytes(os.path.join(fresh_runs["ref"], rext),
+                          os.path.join(fresh_runs["our"], oext)), rext
+
+
+def test_greedy_cluster_byte_identical(oracle, genomes, tmp_path):
+    ref_d = tmp_path / "ref"
+    our_d = tmp_path / "our"
+    ref_d.mkdir()
+    our_d.mkdir()
+    run_ref(oracle, "greedy", ["--fast", "-l", "-i", genomes.list_file,
+                               "-o", "r.cluster", "-d", "0.05"], str(ref_d))
+    time.sleep(1.1)
+    run_ours("clust_greedy", ["--fast", "-l", "-i", genomes.list_file,
+                              "-o", "o.cluster", "-d", "0.05"], str(our_d))
+    assert same_bytes(str(ref_d / "r.cluster"), str(our_d / "o.cluster"))
+
+
+def test_cross_interop_presketched(oracle, fresh_runs, tmp_path):
+    """Our CLI consumes the reference's run folder and vice versa, at a new
+    threshold — identical re-clustering output."""
+    rf = _run_folder(fresh_runs["ref"])
+    of = _run_folder(fresh_runs["our"])
+    run_ours("clust_mst", ["--fast", "--presketched", rf,
+                           "-o", str(tmp_path / "ours_from_ref.cluster"),
+                           "-d", "0.03", "-e"], str(tmp_path))
+    run_ref(oracle, "mst", ["--fast", "--presketched", of,
+                            "-o", str(tmp_path / "ref_from_ours.cluster"),
+                            "-d", "0.03", "-e"], str(tmp_path))
+    assert same_bytes(str(tmp_path / "ours_from_ref.cluster"),
+                      str(tmp_path / "ref_from_ours.cluster"))
