@@ -68,7 +68,7 @@ def main(argv=None) -> int:
     # MinHash (default) path
     if args.premsted and not args.append:
         wf.clust_from_mst_fast(args.premsted, args.output, args.threshold,
-                               args.threads, opts)
+                               args.threads, opts, kssd=False)
         return 0
     if args.presketched and not args.append:
         wf.clust_from_sketches(args.presketched, args.output, args.threshold,

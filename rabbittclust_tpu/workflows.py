@@ -328,12 +328,16 @@ def clust_from_sketch_fast(folder_path: str, output_file: str,
 
 
 def clust_from_mst_fast(folder_path: str, output_file: str, threshold: float,
-                        threads: int, opts: OutputOptions):
-    """--premsted path: re-cluster from a saved MST at a new threshold."""
-    by_file, info = sketch_io.load_genome_info(folder_path, "mst", kssd=True)
+                        threads: int, opts: OutputOptions, kssd: bool = True):
+    """--premsted path: re-cluster from a saved MST at a new threshold.
+
+    ``kssd=False`` replicates the reference's MinHash-premsted quirk of
+    omitting the threshold header (sub_command.cpp:1898 vs 1790)."""
+    by_file, info = sketch_io.load_genome_info(folder_path, "mst", kssd=kssd)
     mst = sketch_io.load_mst(folder_path)
     n = len(info["names"])
-    ss = SketchSet("kssd", None, by_file, info["use64"])
+    ss = SketchSet("kssd" if kssd else "minhash", None, by_file,
+                   info["use64"])
     for i in range(n):
         ss.append_genome(
             file_name=info["file_names"][i], name=info["names"][i],
@@ -348,7 +352,8 @@ def clust_from_mst_fast(folder_path: str, output_file: str, threshold: float,
         except FileNotFoundError:
             log("-----no dense/ani files in folder; skipping noise removal")
             opts.dense = False
-    return _mst_outputs(ss, res, threshold, output_file, opts, folder_path)
+    return _mst_outputs(ss, res, threshold, output_file, opts, folder_path,
+                        kssd=kssd)
 
 
 def append_clust_mst_fast(folder_path: str, input_file: str,
@@ -479,8 +484,10 @@ def compute_minhash_clusters(ss: SketchSet, p: MinHashParams,
         if opts.dense and res.dense is not None:
             sketch_io.save_dense(folder, res.dense)
             sketch_io.save_ani(folder, res.ani)
+    # MinHash fresh/presketched MST output includes the threshold header
+    # (reference printResult calls at sub_command.cpp:2809,3051)
     return _mst_outputs(ss, res, threshold, output_file, opts, folder,
-                        kssd=False)
+                        kssd=True)
 
 
 def clust_from_sketches(folder_path: str, output_file: str, threshold: float,

@@ -152,3 +152,60 @@ def test_cross_interop_presketched(oracle, fresh_runs, tmp_path):
                             "-d", "0.03", "-e"], str(tmp_path))
     assert same_bytes(str(tmp_path / "ours_from_ref.cluster"),
                       str(tmp_path / "ref_from_ours.cluster"))
+
+
+def test_minhash_mst_byte_identical(oracle, genomes, tmp_path):
+    """MinHash (default, no --fast) MST flow: byte-identical output.
+    Both sides use the same Mash sketching semantics (the oracle's stub
+    MinHash == our builder), so this validates the reference's real
+    MST/tuning/printing C++ against our engine."""
+    ref_d = tmp_path / "ref"
+    our_d = tmp_path / "our"
+    ref_d.mkdir()
+    our_d.mkdir()
+    run_ref(oracle, "mst", ["-l", "-i", genomes.list_file, "-o", "r.cluster",
+                            "-d", "0.05", "-k", "21", "-s", "300"],
+            str(ref_d))
+    time.sleep(1.1)
+    run_ours("clust_mst", ["-l", "-i", genomes.list_file, "-o", "o.cluster",
+                           "-d", "0.05", "-k", "21", "-s", "300"],
+             str(our_d))
+    assert same_bytes(str(ref_d / "r.cluster"), str(our_d / "o.cluster"))
+    rf = _run_folder(str(ref_d))
+    of = _run_folder(str(our_d))
+    for f in ("hash.sketch", "info.sketch", "edge.mst"):
+        assert same_bytes(os.path.join(rf, f), os.path.join(of, f)), f
+
+
+def test_by_sequence_mode_byte_identical(oracle, genomes, tmp_path):
+    """By-sequence mode (-i single FASTA, no -l), MinHash flavor.
+    (The reference's KSSD by-sequence path requires the absent RabbitFX
+    submodule — sketchSequencesWithKssd is only compiled under RABBIT_FX —
+    so the oracle can only exercise the MinHash by-sequence flow.)"""
+    ref_d = tmp_path / "ref"
+    our_d = tmp_path / "our"
+    ref_d.mkdir()
+    our_d.mkdir()
+    run_ref(oracle, "mst", ["-i", genomes.single_fasta, "-o", "r.cluster",
+                            "-d", "0.05", "-m", "1000", "-k", "21",
+                            "-s", "300"], str(ref_d))
+    time.sleep(1.1)
+    run_ours("clust_mst", ["-i", genomes.single_fasta, "-o", "o.cluster",
+                           "-d", "0.05", "-m", "1000", "-k", "21",
+                           "-s", "300"], str(our_d))
+    assert same_bytes(str(ref_d / "r.cluster"), str(our_d / "o.cluster"))
+
+
+def test_minhash_greedy_byte_identical(oracle, genomes, tmp_path):
+    ref_d = tmp_path / "ref"
+    our_d = tmp_path / "our"
+    ref_d.mkdir()
+    our_d.mkdir()
+    run_ref(oracle, "greedy", ["-l", "-i", genomes.list_file,
+                               "-o", "r.cluster", "-d", "0.05", "-k", "21",
+                               "-s", "300"], str(ref_d))
+    time.sleep(1.1)
+    run_ours("clust_greedy", ["-l", "-i", genomes.list_file,
+                              "-o", "o.cluster", "-d", "0.05", "-k", "21",
+                              "-s", "300"], str(our_d))
+    assert same_bytes(str(ref_d / "r.cluster"), str(our_d / "o.cluster"))
