@@ -172,13 +172,15 @@ def candidate_pairs_threshold(
     cd = jnp.asarray(coll)
     sd = jnp.asarray(sizes)
     filt = _jitted_filter()
-    cap = max(1 << 20, 64 * n_pad)
+    # sized to avoid overflow-recompiles at realistic densities; a grown cap
+    # persists across row blocks (every distinct cap is a fresh ~4 min
+    # remote compile on the tunnel)
+    cur_cap = max(1 << 21, 128 * n_pad)
 
     cand_i: List[np.ndarray] = []
     cand_j: List[np.ndarray] = []
     for r0 in range(0, n_pad, row_block):
         gi = min(row_block, n_pad - r0)
-        cur_cap = cap
         while True:
             fused = np.asarray(filt(
                 xd[r0:r0 + gi], xd, cd[r0:r0 + gi], cd, sd[r0:r0 + gi], sd,

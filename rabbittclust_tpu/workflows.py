@@ -263,12 +263,16 @@ def clust_from_genome_fast(input_file: str, output_file: str,
                            module: str = "mst"):
     """clust-mst/clust-greedy --fast from genomes
     (reference sub_command.cpp:1934)."""
-    if sketch_by_file:
-        files = read_file_list(input_file)
-        ss, p = sketch_files_kssd(files, min_len, kmer_size, drlevel, threads)
-    else:
-        ss, p = sketch_sequences_kssd(input_file, min_len, kmer_size, drlevel,
+    from .utils.timers import Timer
+    timer = Timer()
+    with timer.phase("computing sketch (with index)"):
+        if sketch_by_file:
+            files = read_file_list(input_file)
+            ss, p = sketch_files_kssd(files, min_len, kmer_size, drlevel,
                                       threads)
+        else:
+            ss, p = sketch_sequences_kssd(input_file, min_len, kmer_size,
+                                          drlevel, threads)
     log(f"-----the size of sketches (genomes) is: {len(ss)}")
     folder = folder_path or sketch_io.default_folder_path()
     if not opts.no_save:
@@ -299,7 +303,11 @@ def compute_kssd_clusters(ss: SketchSet, p: KssdParams, threshold: float,
             st.save(os.path.join(folder, "cluster_state.bin"))
         return gres.clusters, ss2
     # MST module
-    res = _compute_mst_engine(ss, threshold, p.kmer_size, is_containment, opts)
+    from .utils.timers import Timer
+    timer = Timer()
+    with timer.phase("computing mst"):
+        res = _compute_mst_engine(ss, threshold, p.kmer_size, is_containment,
+                                  opts)
     if not opts.no_save and folder:
         sketch_io.ensure_folder(folder)
         sketch_io.save_genome_info(ss, folder, "mst", kssd=True)
