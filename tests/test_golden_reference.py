@@ -209,3 +209,51 @@ def test_minhash_greedy_byte_identical(oracle, genomes, tmp_path):
                               "-o", "o.cluster", "-d", "0.05", "-k", "21",
                               "-s", "300"], str(our_d))
     assert same_bytes(str(ref_d / "r.cluster"), str(our_d / "o.cluster"))
+
+
+def test_append_byte_identical(oracle, genomes, tmp_path):
+    """--append with --presketched (classic path: pre-MST merge +
+    new-vs-all candidate generation)."""
+    init_list = tmp_path / "init.list"
+    app_list = tmp_path / "app.list"
+    init_list.write_text("\n".join(genomes.files[:8]) + "\n")
+    app_list.write_text("\n".join(genomes.files[8:]) + "\n")
+    ref_d = tmp_path / "ref"
+    our_d = tmp_path / "our"
+    ref_d.mkdir()
+    our_d.mkdir()
+    run_ref(oracle, "mst", ["--fast", "-l", "-i", str(init_list),
+                            "-o", "r0.cluster", "-d", "0.05"], str(ref_d))
+    rf = _run_folder(str(ref_d))
+    run_ref(oracle, "mst", ["--fast", "--presketched", rf,
+                            "--append", str(app_list), "-l",
+                            "-o", "r1.cluster", "-d", "0.05"], str(ref_d))
+    time.sleep(1.1)
+    run_ours("clust_mst", ["--fast", "-l", "-i", str(init_list),
+                           "-o", "o0.cluster", "-d", "0.05"], str(our_d))
+    of = _run_folder(str(our_d))
+    run_ours("clust_mst", ["--fast", "--presketched", of,
+                           "--append", str(app_list), "-l",
+                           "-o", "o1.cluster", "-d", "0.05"], str(our_d))
+    assert same_bytes(str(ref_d / "r1.cluster"), str(our_d / "o1.cluster"))
+
+
+def test_dense_noise_byte_identical(oracle, genomes, tmp_path):
+    """--dense: density/ANI histograms and the .removeNoise output."""
+    ref_d = tmp_path / "ref"
+    our_d = tmp_path / "our"
+    ref_d.mkdir()
+    our_d.mkdir()
+    run_ref(oracle, "mst", ["--fast", "-l", "-i", genomes.list_file,
+                            "-o", "r.cluster", "-d", "0.05", "--dense"],
+            str(ref_d))
+    time.sleep(1.1)
+    run_ours("clust_mst", ["--fast", "-l", "-i", genomes.list_file,
+                           "-o", "o.cluster", "-d", "0.05", "--dense"],
+             str(our_d))
+    rf = _run_folder(str(ref_d))
+    of = _run_folder(str(our_d))
+    for f in ("mst.dense", "mst.ani"):
+        assert same_bytes(os.path.join(rf, f), os.path.join(of, f)), f
+    assert same_bytes(str(ref_d / "r.cluster.removeNoise"),
+                      str(our_d / "o.cluster.removeNoise"))
