@@ -93,23 +93,20 @@ def compute_threshold_stability(mst, threshold: float, num_vertices: int,
     dists = np.asarray(mst[2], dtype=np.float64)
     if num_vertices <= 0 or len(dists) == 0:
         return result
+    # exact replication of the reference's adaptive window loop
+    # (MST.cpp:1845-1873): collect only while cur_eps <= threshold/2; the
+    # final near-set corresponds to the last epsilon tried inside the loop.
     max_epsilon = threshold * 0.5
     cur_eps = epsilon
-    near: np.ndarray = np.empty(0)
     lo = max(0.0, threshold - cur_eps)
     hi = threshold + cur_eps
-    while True:
+    near = np.empty(0, dtype=np.float64)
+    while len(near) < min_near_edges and cur_eps <= max_epsilon:
         lo = max(0.0, threshold - cur_eps)
         hi = threshold + cur_eps
         near = np.sort(dists[(dists >= lo) & (dists <= hi)])
-        if len(near) >= min_near_edges or cur_eps > max_epsilon:
-            break
-        cur_eps *= 1.5
-        if cur_eps > max_epsilon:
-            lo = max(0.0, threshold - cur_eps)
-            hi = threshold + cur_eps
-            near = np.sort(dists[(dists >= lo) & (dists <= hi)])
-            break
+        if len(near) < min_near_edges:
+            cur_eps *= 1.5
     result.near_edge_count = int(len(near))
     if len(near) == 0:
         result.overall = result.split = result.merge = 1.0
@@ -123,8 +120,18 @@ def compute_threshold_stability(mst, threshold: float, num_vertices: int,
         if t < 0.0:
             continue
         if abs(t - threshold) < 1e-10:
+            # reference MST.cpp:1904-1915: the "t' == threshold" sample
+            # contributes consistency 1.0, and is STILL classified as a
+            # split/merge sample by the inexact floating comparison
+            # (lo + 2*step usually lands one ulp below the threshold)
             tot += 1.0
             n_valid += 1
+            if t < threshold:
+                tot_s += 1.0
+                n_s += 1
+            elif t > threshold:
+                tot_m += 1.0
+                n_m += 1
             continue
         flip_lo, flip_hi = min(threshold, t), max(threshold, t)
         flips = bisect_right(near_list, flip_hi) - bisect_right(near_list, flip_lo)

@@ -257,3 +257,27 @@ def test_dense_noise_byte_identical(oracle, genomes, tmp_path):
         assert same_bytes(os.path.join(rf, f), os.path.join(of, f)), f
     assert same_bytes(str(ref_d / "r.cluster.removeNoise"),
                       str(our_d / "o.cluster.removeNoise"))
+
+
+def test_dedup_reps_threshold_analysis_byte_identical(oracle, genomes,
+                                                      tmp_path):
+    """--dedup-dist/--reps-per-cluster outputs and the --auto-threshold
+    --stability analysis report."""
+    init_list = tmp_path / "init.list"
+    init_list.write_text("\n".join(genomes.files[:8]) + "\n")
+    ref_d = tmp_path / "ref"
+    our_d = tmp_path / "our"
+    ref_d.mkdir()
+    our_d.mkdir()
+    args = ["--fast", "-l", "-i", str(init_list), "-d", "0.05",
+            "--dedup-dist", "0.02", "--reps-per-cluster", "2",
+            "--auto-threshold", "--stability"]
+    run_ref(oracle, "mst", [*args, "-o", "r.cluster"], str(ref_d))
+    time.sleep(1.1)
+    run_ours("clust_mst", [*args, "-o", "o.cluster"], str(our_d))
+    for rext, oext in [("r.cluster", "o.cluster"),
+                       ("r.cluster.dedup", "o.cluster.dedup"),
+                       ("r.cluster.reps", "o.cluster.reps"),
+                       ("r.cluster.threshold_analysis.txt",
+                        "o.cluster.threshold_analysis.txt")]:
+        assert same_bytes(str(ref_d / rext), str(our_d / oext)), rext
