@@ -52,7 +52,8 @@ def main(argv=None) -> int:
     print(f"-----the size of sketches (genomes) is: {len(ss)}",
           file=sys.stderr)
     result = dbscan_cluster(ss.hashes, args.eps, args.minpts, kp.kmer_size,
-                            knn_k=args.knn_k, max_posting=args.max_posting)
+                            knn_k=args.knn_k, max_posting=args.max_posting,
+                            use_device=args.use_device)
     write_dbscan_result(result, ss, args.output, args.eps, args.minpts)
     print(f"-----write the cluster result into: {args.output}",
           file=sys.stderr)

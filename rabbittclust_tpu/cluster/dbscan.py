@@ -42,8 +42,14 @@ class DBSCANResult:
 
 
 def _neighbor_lists(hashes, eps: float, kmer_size: int, knn_k: int,
-                    max_posting: int) -> List[np.ndarray]:
-    """Adjacency (neighbors within eps) for every point."""
+                    max_posting: int,
+                    use_device: bool = False) -> List[np.ndarray]:
+    """Adjacency (neighbors within eps) for every point.
+
+    ``use_device`` routes candidate generation through the MXU bitmap
+    filter (ops/bitmap.py) — the DBSCAN neighbor criterion is exactly the
+    threshold-bounded candidate set, so the filter's no-false-negative
+    bound applies directly."""
     n = len(hashes)
     sizes = np.array([len(h) for h in hashes], dtype=np.int64)
     x = math.exp(-eps * kmer_size)
@@ -67,7 +73,12 @@ def _neighbor_lists(hashes, eps: float, kmer_size: int, knn_k: int,
                   for i in range(n)]
     adj: List[List[int]] = [[] for _ in range(n)]
     adj_j: List[List[float]] = [[] for _ in range(n)]
-    for i, j, c in candidate_pair_counts(hashes):
+    if use_device and max_posting <= 0:
+        from ..ops.bitmap import candidate_pairs_threshold
+        pair_iter = [candidate_pairs_threshold(hashes, eps, kmer_size)]
+    else:
+        pair_iter = candidate_pair_counts(hashes)
+    for i, j, c in pair_iter:
         s0 = sizes[i].astype(np.float64)
         s1 = sizes[j].astype(np.float64)
         lhs = c.astype(np.float64) * (1.0 + t)
@@ -96,13 +107,15 @@ def _neighbor_lists(hashes, eps: float, kmer_size: int, knn_k: int,
 
 
 def dbscan_cluster(hashes, eps: float, min_pts: int, kmer_size: int,
-                   knn_k: int = 0, max_posting: int = 0) -> DBSCANResult:
+                   knn_k: int = 0, max_posting: int = 0,
+                   use_device: bool = False) -> DBSCANResult:
     n = len(hashes)
     if knn_k > 0 and knn_k < min_pts - 1:
         print(f"-----WARNING: knn_k ({knn_k}) < minPts-1 ({min_pts - 1}). "
               f"Adjusting knn_k to {min_pts - 1}.", file=sys.stderr)
         knn_k = min_pts - 1
-    adj = _neighbor_lists(hashes, eps, kmer_size, knn_k, max_posting)
+    adj = _neighbor_lists(hashes, eps, kmer_size, knn_k, max_posting,
+                          use_device=use_device)
     labels = np.full(n, -1, dtype=np.int64)  # -1 unvisited, -2 noise
     cluster_id = 0
     for i in range(n):

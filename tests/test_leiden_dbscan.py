@@ -128,3 +128,14 @@ def test_dbscan_minpts_includes_self(sketched):
     res = dbscan_cluster(ss.hashes, eps=0.05, min_pts=5,
                          kmer_size=p.kmer_size)
     assert res.num_clusters == 4
+
+
+def test_dbscan_device_path_matches_host(sketched, synthetic_genomes):
+    """Bitmap-filter candidate generation yields the same DBSCAN result
+    (CPU jax backend in tests)."""
+    ss, p = sketched
+    host = dbscan_cluster(ss.hashes, 0.05, 3, p.kmer_size)
+    dev = dbscan_cluster(ss.hashes, 0.05, 3, p.kmer_size, use_device=True)
+    assert [sorted(c) for c in host.clusters] == \
+        [sorted(c) for c in dev.clusters]
+    assert host.noise == dev.noise
