@@ -51,6 +51,40 @@ def clusters_tpu(hashes, threshold, kmer_size, row_block=8192):
                                      row_block=row_block)
 
 
+def measure_filter_compute(hashes, threshold, kmer_size, reps=8):
+    """Device-compute-only throughput of the MXU candidate filter (staged
+    arrays, no host pulls; amortizes dispatch latency over reps)."""
+    import math
+    import jax
+    import jax.numpy as jnp
+    from rabbittclust_tpu.ops import bitmap as bm
+    from rabbittclust_tpu.distance.mash import (
+        min_jaccard_for_threshold, size_ratio_limit)
+    xp, coll = bm.pack_bitmaps_packed(hashes)
+    n_pad = xp.shape[0]
+    sizes = np.zeros(n_pad, dtype=np.int32)
+    sizes[: len(hashes)] = [len(h) for h in hashes]
+    j_min = min_jaccard_for_threshold(threshold, kmer_size)
+    c_min = math.exp(-threshold * kmer_size)
+    radio = size_ratio_limit(threshold, kmer_size - 1)
+    xd = jax.device_put(jnp.asarray(xp))
+    cd = jax.device_put(jnp.asarray(coll))
+    sd = jax.device_put(jnp.asarray(sizes))
+    cap = max(1 << 20, n_pad * n_pad // 64)
+    filt = bm._jitted_filter()
+    args = (xd, xd, cd, cd, sd, sd, jnp.int32(0), jnp.float32(j_min),
+            jnp.float32(1 + j_min), jnp.float32(c_min), jnp.int32(radio),
+            False, cap)
+    filt(*args).block_until_ready()  # warm
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = filt(*args)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return n_pad * n_pad / dt
+
+
 def partition_equal(a, b):
     fa = set(frozenset(c) for c in a if c)
     fb = set(frozenset(c) for c in b if c)
@@ -58,7 +92,7 @@ def partition_equal(a, b):
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", "4096"))
+    n = int(os.environ.get("BENCH_N", "16384"))
     s = int(os.environ.get("BENCH_S", "1000"))
     threshold = 0.05
     kmer_size = 21
@@ -71,6 +105,7 @@ def main():
     t_host = time.perf_counter() - t0
 
     # TPU path (falls back to CPU jax if no TPU — still the same pipeline)
+    filter_pairs_per_s = None
     try:
         import jax
         backend = jax.default_backend()
@@ -80,6 +115,8 @@ def main():
         ct = clusters_tpu(hashes, threshold, kmer_size)
         t_tpu = time.perf_counter() - t0
         ok = partition_equal(ch, ct)
+        filter_pairs_per_s = measure_filter_compute(hashes, threshold,
+                                                    kmer_size)
     except Exception as e:  # pragma: no cover
         print(f"bench: device path failed: {e}", file=sys.stderr)
         backend = "none"
@@ -102,6 +139,8 @@ def main():
         "t_host_s": round(t_host, 3),
         "t_device_s": round(t_tpu, 3),
         "clusters_match": ok,
+        "filter_compute_pairs_per_s": (round(filter_pairs_per_s)
+                                       if filter_pairs_per_s else None),
     }
     print(json.dumps(result))
 

@@ -172,10 +172,11 @@ def candidate_pairs_threshold(
     cd = jnp.asarray(coll)
     sd = jnp.asarray(sizes)
     filt = _jitted_filter()
-    # sized to avoid overflow-recompiles at realistic densities; a grown cap
-    # persists across row blocks (every distinct cap is a fresh ~4 min
-    # remote compile on the tunnel)
-    cur_cap = max(1 << 21, 128 * n_pad)
+    # compaction buffer sized for <=1.5% pair density (covers heavily
+    # clustered data); a grown cap persists across row blocks (every
+    # distinct cap is a fresh ~4 min remote compile on the tunnel, cached
+    # persistently afterwards)
+    cur_cap = max(1 << 20, (min(row_block, n_pad) * n_pad) // 64)
 
     cand_i: List[np.ndarray] = []
     cand_j: List[np.ndarray] = []
