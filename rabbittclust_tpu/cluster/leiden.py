@@ -17,7 +17,6 @@ Re-derivation of reference src/leiden.cpp:
 
 from __future__ import annotations
 
-import heapq
 import sys
 from typing import Dict, List, Optional, Tuple
 

@@ -623,8 +623,6 @@ class MinHashClusterState:
         f.write(struct.pack("<i", self.contain_compress))
         f.write(struct.pack("<Q", len(self.representative_ids)))
         f.write(np.asarray(self.representative_ids, dtype="<i4").tobytes())
-        ids = (self.representative_ids if reps_only
-               else range(len(self.hashes)))
         f.write(struct.pack("<Q", len(self.hashes)))
         f.write(struct.pack("<?", reps_only))
         store = list(self.representative_ids) if reps_only else \
