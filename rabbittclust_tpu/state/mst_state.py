@@ -25,7 +25,7 @@ from ..cluster.union_find import UnionFind
 from ..sketch.base import SketchSet
 from ..sketch.kssd import KssdParams
 
-_KSSD_MAGIC = b"KSMSTST01"  # 9 bytes incl. NUL written by the reference
+_KSSD_MAGIC = b"KSMSTST01"  # reference writes exactly these 9 bytes
 _MH_MAGIC = b"MHMSTST01"
 
 
@@ -321,14 +321,14 @@ class MstState:
     def save(self, path: str) -> None:
         with open(path, "wb") as f:
             if self.kind == "kssd":
-                f.write(_KSSD_MAGIC + b"\x00")
+                f.write(_KSSD_MAGIC)  # exactly 9 bytes (mst_state.cpp:299)
                 f.write(struct.pack("<d", self.threshold))
                 f.write(struct.pack("<iiii", self.kmer_size, self.half_k,
                                     self.half_subk, self.drlevel))
                 f.write(struct.pack("<??", self.use64, self.sketch_by_file))
                 f.write(struct.pack("<i", self.n))
             else:
-                f.write(_MH_MAGIC + b"\x00")
+                f.write(_MH_MAGIC)  # exactly 9 bytes
                 f.write(struct.pack("<d", self.threshold))
                 f.write(struct.pack("<iii", self.kmer_size, self.sketch_size,
                                     self.contain_compress))
@@ -369,9 +369,8 @@ class MstState:
     def load(cls, path: str) -> "MstState":
         with open(path, "rb") as f:
             data = f.read()
-        off = 0
         magic = data[:9]
-        off = 10
+        off = 9
         if magic == _KSSD_MAGIC:
             (threshold,) = struct.unpack_from("<d", data, off); off += 8
             k, hk, hs, dl = struct.unpack_from("<iiii", data, off); off += 16

@@ -281,3 +281,43 @@ def test_dedup_reps_threshold_analysis_byte_identical(oracle, genomes,
                        ("r.cluster.threshold_analysis.txt",
                         "o.cluster.threshold_analysis.txt")]:
         assert same_bytes(str(ref_d / rext), str(our_d / oext)), rext
+
+
+def test_repdb_cross_interop(oracle, genomes, tmp_path):
+    """Greedy RepDB (REPDB002) and MST RepDB (KSMSTST01) binary interop:
+    each tool queries a database built by the other with identical TSVs."""
+    init_list = tmp_path / "init.list"
+    app_list = tmp_path / "app.list"
+    init_list.write_text("\n".join(genomes.files[:8]) + "\n")
+    app_list.write_text("\n".join(genomes.files[8:]) + "\n")
+    d = str(tmp_path)
+    # greedy RepDB
+    run_ref(oracle, "greedy", ["--fast", "--db", "ref.db", "--build",
+                               "-i", str(init_list), "-l", "-d", "0.05",
+                               "-o", "rb.cluster"], d)
+    run_ours("clust_greedy", ["--fast", "--db", "our.db", "--build",
+                              "-i", str(init_list), "-l", "-d", "0.05",
+                              "-o", "ob.cluster"], d)
+    assert same_bytes(os.path.join(d, "rb.cluster"),
+                      os.path.join(d, "ob.cluster"))
+    run_ours("clust_greedy", ["--fast", "--db", "ref.db", "--query",
+                              "-i", str(app_list), "-l",
+                              "-o", "q1.tsv", "--top-k", "3"], d)
+    run_ref(oracle, "greedy", ["--fast", "--db", "our.db", "--query",
+                               "-i", str(app_list), "-l",
+                               "-o", "q2.tsv", "--top-k", "3"], d)
+    assert same_bytes(os.path.join(d, "q1.tsv"), os.path.join(d, "q2.tsv"))
+    # MST RepDB
+    run_ref(oracle, "mst", ["--fast", "--db", "refmst.db", "--build",
+                            "-i", str(init_list), "-l", "-d", "0.05",
+                            "-o", "rbm.cluster"], d)
+    run_ours("clust_mst", ["--fast", "--db", "ourmst.db", "--build",
+                           "-i", str(init_list), "-l", "-d", "0.05",
+                           "-o", "obm.cluster"], d)
+    run_ours("clust_mst", ["--fast", "--db", "refmst.db", "--query",
+                           "-i", str(app_list), "-l",
+                           "-o", "m1.tsv", "--top-k", "3"], d)
+    run_ref(oracle, "mst", ["--fast", "--db", "ourmst.db", "--query",
+                            "-i", str(app_list), "-l",
+                            "-o", "m2.tsv", "--top-k", "3"], d)
+    assert same_bytes(os.path.join(d, "m1.tsv"), os.path.join(d, "m2.tsv"))
