@@ -112,9 +112,14 @@ class KssdClusterState:
         self.file_names.extend(new_ss.file_names)
         self.total_lens.extend(new_ss.total_lens)
         self.hashes.extend(new_ss.hashes)
-        if self.names is not None:
-            self.names.extend(new_ss.names)
-            self.comments.extend(new_ss.comments)
+        if self.names is None:
+            # loaded states carry no sequence names: old members print N/A,
+            # freshly appended genomes keep their real names (reference
+            # printKssdResult over mixed state.all_sketches)
+            self.names = ["N/A"] * start
+            self.comments = ["N/A"] * start
+        self.names.extend(new_ss.names)
+        self.comments.extend(new_ss.comments)
         for k in range(len(new_ss)):
             gid = start + k
             h = self.hashes[gid]
@@ -152,7 +157,11 @@ class KssdClusterState:
             else:
                 new_rep_idx = len(self.representative_ids)
                 self.representative_ids.append(gid)
-                self.clusters.append([gid])
+                # reference quirk (greedy.cpp:1864): clusters created during
+                # incremental updates start EMPTY — the representative is
+                # tracked in representative_ids but absent from the printed
+                # member list
+                self.clusters.append([])
                 self._index_add(new_rep_idx, h)
         return self.clusters
 
@@ -438,8 +447,10 @@ class KssdClusterState:
         from .cluster_io import write_cluster_file
         ss = SketchSet("kssd", self.params, True, self.use64)
         for i in range(len(self.hashes)):
-            nm = self.names[i] if self.names else self.file_names[i]
-            cm = self.comments[i] if self.comments else ""
+            # a loaded state has no sequence names; the reference prints
+            # N/A for empty fileSeqs (printKssdResult, MST_IO.cpp:99-104)
+            nm = self.names[i] if self.names else "N/A"
+            cm = self.comments[i] if self.comments else "N/A"
             ss.append_genome(file_name=self.file_names[i], name=nm,
                              comment=cm, seq0_len=0,
                              total_len=self.total_lens[i], num_seqs=1,

@@ -369,8 +369,40 @@ def append_clust_mst_fast(folder_path: str, input_file: str,
                           is_containment: bool, min_len: int,
                           threshold: float, threads: int,
                           opts: OutputOptions):
-    """--append with --presketched/--premsted (classic path,
-    reference sub_command.cpp:1286-1528)."""
+    """--append with --presketched/--premsted (reference
+    sub_command.cpp:1286-1528): uses the saved MST medoid state when
+    mst_cluster_state.bin exists, else the classic pre-MST merge path."""
+    state_file = os.path.join(folder_path, "mst_cluster_state.bin")
+    if os.path.exists(state_file):
+        from .state.mst_state import MstState
+        st = MstState.load(state_file)
+        if st.kind == "kssd":
+            p = KssdParams(half_k=st.half_k, half_subk=st.half_subk,
+                           drlevel=st.drlevel)
+            if sketch_by_file:
+                new_ss, _ = sketch_files_kssd(
+                    read_file_list(input_file), min_len, p.kmer_size,
+                    p.drlevel, threads)
+            else:
+                new_ss, _ = sketch_sequences_kssd(
+                    input_file, min_len, p.kmer_size, p.drlevel, threads)
+        else:
+            mp = MinHashParams(kmer_size=st.kmer_size,
+                               sketch_size=st.sketch_size,
+                               is_containment=st.is_containment,
+                               contain_compress=st.contain_compress)
+            if sketch_by_file:
+                new_ss = sketch_files_minhash(read_file_list(input_file),
+                                              min_len, mp, threads)
+            else:
+                new_ss = sketch_sequences_minhash(input_file, min_len, mp,
+                                                  threads)
+        live = st.append_cluster(new_ss)
+        if not opts.no_save:
+            st.save(state_file)
+        st.write_cluster_result(live, output_file, st.threshold)
+        log(f"-----write the cluster result into: {output_file}")
+        return live, None
     ss, p = sketch_io.load_kssd_sketches(folder_path)
     pre_n = len(ss)
     log(f"-----load {pre_n} pre-generated sketches from: {folder_path}")

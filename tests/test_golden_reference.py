@@ -321,3 +321,36 @@ def test_repdb_cross_interop(oracle, genomes, tmp_path):
                             "-i", str(app_list), "-l",
                             "-o", "m2.tsv", "--top-k", "3"], d)
     assert same_bytes(os.path.join(d, "m1.tsv"), os.path.join(d, "m2.tsv"))
+
+
+def test_state_append_byte_identical(oracle, genomes, tmp_path):
+    """--save-rep state-based append for both greedy (cluster_state.bin) and
+    MST (mst_cluster_state.bin), including the reference's quirks (N/A
+    names for state members, incremental clusters excluding their rep)."""
+    init_list = tmp_path / "init.list"
+    app_list = tmp_path / "app.list"
+    init_list.write_text("\n".join(genomes.files[:8]) + "\n")
+    app_list.write_text("\n".join(genomes.files[8:]) + "\n")
+    for tool, module in (("greedy", "clust_greedy"), ("mst", "clust_mst")):
+        ref_d = tmp_path / f"ref_{tool}"
+        our_d = tmp_path / f"our_{tool}"
+        ref_d.mkdir()
+        our_d.mkdir()
+        run_ref(oracle, tool, ["--fast", "-l", "-i", str(init_list),
+                               "-o", "r0.cluster", "-d", "0.05",
+                               "--save-rep"], str(ref_d))
+        rf = _run_folder(str(ref_d))
+        run_ref(oracle, tool, ["--fast", "--presketched", rf,
+                               "--append", str(app_list), "-l",
+                               "-o", "r1.cluster", "-d", "0.05"],
+                str(ref_d))
+        time.sleep(1.1)
+        run_ours(module, ["--fast", "-l", "-i", str(init_list),
+                          "-o", "o0.cluster", "-d", "0.05", "--save-rep"],
+                 str(our_d))
+        of = _run_folder(str(our_d))
+        run_ours(module, ["--fast", "--presketched", of,
+                          "--append", str(app_list), "-l",
+                          "-o", "o1.cluster", "-d", "0.05"], str(our_d))
+        assert same_bytes(str(ref_d / "r1.cluster"),
+                          str(our_d / "o1.cluster")), tool

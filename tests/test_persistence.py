@@ -152,10 +152,17 @@ def test_incremental_matches_full(tmp_path, synthetic_genomes):
                           presorted=True)
     st = KssdClusterState.from_clustering(base_sorted, p, gres, 0.05)
     st.incremental_cluster(extra)
+    # reference quirk: clusters created during incremental updates exclude
+    # their representative from the member list — reattach it for the
+    # partition check
+    full = []
+    for idx, cl in enumerate(st.clusters):
+        rep = st.representative_ids[idx]
+        full.append(([rep] if rep not in cl else []) + list(cl))
     # map ids back: first k are base_sorted order, rest are extra order
     from tests.helpers import clusters_to_labels, same_partition
     idmap = [int(order[i]) for i in range(k)] + list(range(k, len(ss)))
-    clusters = [[idmap[g] for g in cl] for cl in st.clusters]
+    clusters = [[idmap[g] for g in cl] for cl in full]
     labels = clusters_to_labels(clusters, len(ss))
     assert same_partition(labels, synthetic_genomes.labels)
 
