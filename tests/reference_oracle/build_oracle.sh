@@ -21,4 +21,8 @@ g++ $CXXFLAGS -D Timer -o "$OUT/clust-mst" $SRCS -lz -lgomp -lpthread
 g++ $CXXFLAGS -D Timer -D GREEDY_CLUST -o "$OUT/clust-greedy" $SRCS \
     "$REF/src/greedy.cpp" -lz -lgomp -lpthread
 
+# clust-dbscan
+g++ $CXXFLAGS -D Timer -D DBSCAN_CLUST -o "$OUT/clust-dbscan" $SRCS \
+    "$REF/src/dbscan.cpp" -lz -lgomp -lpthread
+
 echo "oracle binaries in $OUT"

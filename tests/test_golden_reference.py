@@ -28,14 +28,15 @@ BUILD_SCRIPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def oracle():
     mst = os.path.join(ORACLE_DIR, "clust-mst")
     greedy = os.path.join(ORACLE_DIR, "clust-greedy")
-    if not (os.path.exists(mst) and os.path.exists(greedy)):
+    dbscan = os.path.join(ORACLE_DIR, "clust-dbscan")
+    if not all(os.path.exists(p) for p in (mst, greedy, dbscan)):
         if not os.path.exists("/root/reference/src/main.cpp"):
             pytest.skip("reference sources unavailable")
         r = subprocess.run(["bash", BUILD_SCRIPT], capture_output=True,
                            text=True)
         if r.returncode != 0:
             pytest.skip(f"oracle build failed: {r.stderr[-500:]}")
-    return {"mst": mst, "greedy": greedy}
+    return {"mst": mst, "greedy": greedy, "dbscan": dbscan}
 
 
 @pytest.fixture(scope="module")
@@ -354,3 +355,23 @@ def test_state_append_byte_identical(oracle, genomes, tmp_path):
                           "-o", "o1.cluster", "-d", "0.05"], str(our_d))
         assert same_bytes(str(ref_d / "r1.cluster"),
                           str(our_d / "o1.cluster")), tool
+
+
+def test_dbscan_byte_identical(oracle, genomes, tmp_path):
+    """clust-dbscan: plain, noise-producing minPts, and --knn mode."""
+    for suffix, extra in (("a", ["--minpts", "3"]),
+                          ("b", ["--minpts", "5"]),
+                          ("c", ["--minpts", "3", "--knn", "5"])):
+        ref_d = tmp_path / f"ref{suffix}"
+        our_d = tmp_path / f"our{suffix}"
+        ref_d.mkdir()
+        our_d.mkdir()
+        run_ref(oracle, "dbscan", ["--fast", "-l", "-i", genomes.list_file,
+                                   "-o", "r.cluster", "--eps", "0.05",
+                                   *extra], str(ref_d))
+        time.sleep(1.1)
+        run_ours("clust_dbscan", ["--fast", "-l", "-i", genomes.list_file,
+                                  "-o", "o.cluster", "--eps", "0.05",
+                                  *extra], str(our_d))
+        assert same_bytes(str(ref_d / "r.cluster"),
+                          str(our_d / "o.cluster")), suffix
