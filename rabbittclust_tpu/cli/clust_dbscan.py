@@ -62,5 +62,17 @@ def main(argv=None) -> int:
     return 0
 
 
+def cli() -> int:
+    """Console entry with reference-style clean error reporting."""
+    try:
+        return main()
+    except FileNotFoundError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(cli())

@@ -84,5 +84,17 @@ def _write_membership(clusters, output: str) -> None:
             f.write("\n")
 
 
+def cli() -> int:
+    """Console entry with reference-style clean error reporting."""
+    try:
+        return main()
+    except FileNotFoundError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
+    except ValueError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(cli())

@@ -175,6 +175,7 @@ def compute_mst(
     with_dense: bool = False,
     pre_edges: Optional[Edges] = None,
     backend: str = "auto",
+    threads: int = 0,
 ) -> MstResult:
     """Full MST over candidate pairs (reference compute_kssd_mst semantics).
 
@@ -189,7 +190,7 @@ def compute_mst(
         import os as _os
         res = native_mod.native_mst(hashes, threshold, kmer_size,
                                     is_containment, start_index, with_dense,
-                                    _os.cpu_count() or 1)
+                                    threads or (_os.cpu_count() or 1))
         if res is not None:
             (mst, dense, ani) = res
             if pre_edges is not None and len(pre_edges[0]):

@@ -239,7 +239,8 @@ def _mst_outputs(ss: SketchSet, res: MstResult, threshold: float,
 
 def _compute_mst_engine(ss: SketchSet, threshold: float, kmer_size: int,
                         is_containment: bool, opts: OutputOptions,
-                        start_index: int = 0, pre_edges=None) -> MstResult:
+                        start_index: int = 0, pre_edges=None,
+                        threads: int = 0) -> MstResult:
     if opts.use_device:
         from .ops.engine import compute_mst_device
         return compute_mst_device(
@@ -248,7 +249,8 @@ def _compute_mst_engine(ss: SketchSet, threshold: float, kmer_size: int,
             pre_edges=pre_edges)
     return compute_mst(ss.hashes, threshold, kmer_size,
                        is_containment=is_containment, with_dense=opts.dense,
-                       start_index=start_index, pre_edges=pre_edges)
+                       start_index=start_index, pre_edges=pre_edges,
+                       threads=threads)
 
 
 # ---------------------------------------------------------------------------
