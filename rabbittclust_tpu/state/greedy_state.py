@@ -744,3 +744,57 @@ class MinHashClusterState:
                              hashes=self.hashes[i])
         write_cluster_file(output_file, self.clusters, ss,
                            -1.0 if threshold is None else threshold)
+
+
+def batch_query_device(state, query_hashes: List[np.ndarray], topk: int):
+    """Device-accelerated batch serving: query many genomes against a
+    representative database in one shot.
+
+    The MXU bitmap filter produces a SUPERSET of the reference's candidate
+    set (its bounds are strictly looser than query_topk's min-common and
+    size-ratio filters), then every surviving (query, rep) pair is re-scored
+    with the exact reference criteria — results are identical to calling
+    ``state.query_topk`` per query.
+    """
+    from ..ops.bitmap import candidate_pairs_threshold, CsrSketches
+
+    rep_gids = list(state.representative_ids)
+    rep_hashes = [state.hashes[g] for g in rep_gids]
+    n_q = len(query_hashes)
+    n_r = len(rep_hashes)
+    combined = rep_hashes + list(query_hashes)
+    ii, jj, _ = candidate_pairs_threshold(
+        combined, state.threshold, state.kmer_size, return_shared=True)
+    # keep only (query, rep) pairs: reps occupy ids [0, n_r)
+    is_qr = (ii >= n_r) & (jj < n_r)
+    q_idx = (ii[is_qr] - n_r).astype(np.int64)
+    r_idx = jj[is_qr].astype(np.int64)
+    csr = CsrSketches(combined)
+    common = csr.count_common(ii[is_qr], jj[is_qr])
+
+    radio = 2.0 * math.exp(state.threshold * state.kmer_size) - 1.0
+    x = math.exp(-state.threshold * state.kmer_size)
+    j_min = x / (2.0 - x)
+    per_query = [[] for _ in range(n_q)]
+    for q, r, c in zip(q_idx.tolist(), r_idx.tolist(), common.tolist()):
+        size_qry = len(query_hashes[q])
+        size_ref = len(rep_hashes[r])
+        if size_ref == 0:
+            continue
+        ratio = size_qry / size_ref
+        if ratio > radio or ratio < 1.0 / radio:
+            continue
+        if c < int(j_min * (size_qry + size_ref) / (1.0 + j_min)):
+            continue
+        d = exact_mash_distance(rep_hashes[r], query_hashes[q],
+                                state.kmer_size)
+        per_query[q].append((d, r))
+    out = []
+    for q in range(n_q):
+        scored = sorted(per_query[q], key=lambda t: (t[0], t[1]))[:topk]
+        out.append([
+            {"rep_idx": r, "genome_id": rep_gids[r],
+             "genome_name": state.file_names[rep_gids[r]], "distance": d,
+             "cluster_id": r, "cluster_size": len(state.clusters[r])}
+            for d, r in scored])
+    return out

@@ -65,3 +65,21 @@ def test_minhash_containment_state(synthetic_genomes):
     res = greedy_cluster(ss.hashes, 0.05, p.kmer_size, is_containment=True)
     labels = clusters_to_labels(res.clusters, len(ss))
     assert same_partition(labels, synthetic_genomes.labels)
+
+
+def test_batch_query_device_matches_serial(synthetic_genomes):
+    from rabbittclust_tpu.sketch.kssd import sketch_files_kssd
+    from rabbittclust_tpu.cluster.greedy import greedy_cluster
+    from rabbittclust_tpu.state.greedy_state import (
+        KssdClusterState, batch_query_device)
+    ss, p = sketch_files_kssd(synthetic_genomes.files, 1000, 19, 2)
+    order = ss.sort_by_size_desc()
+    ss2 = ss.reorder(order)
+    gres = greedy_cluster(ss2.hashes, 0.05, p.kmer_size, presorted=True)
+    st = KssdClusterState.from_clustering(ss2, p, gres, 0.05)
+    queries = ss2.hashes[:10]
+    batched = batch_query_device(st, queries, topk=3)
+    for q, res in enumerate(batched):
+        serial = st.query_topk(queries[q], 3)
+        assert [(r["rep_idx"], round(r["distance"], 12)) for r in res] == \
+            [(r["rep_idx"], round(r["distance"], 12)) for r in serial]
