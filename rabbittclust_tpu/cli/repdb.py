@@ -113,6 +113,22 @@ def run_greedy_repdb(args, opts) -> int:
             return 1
         state = KssdClusterState.load_repdb(db)
         ss = _sketch_queries(args, state.kmer_size, state.params.drlevel)
+        if getattr(args, "use_device", False):
+            from ..state.greedy_state import batch_query_device
+            results = batch_query_device(state, ss.hashes, args.topk)
+            with open(args.output, "w") as fp:
+                fp.write("#query\trank\trep_name\tdistance\tcluster_id\t"
+                         "cluster_size\n")
+                for i, res in enumerate(results):
+                    qname = _query_name(ss, i)
+                    if not res:
+                        fp.write(f"{qname}\t0\tno_match\t-1\t-1\t0\n")
+                    for r, hit in enumerate(res):
+                        fp.write(f"{qname}\t{r + 1}\t{hit['genome_name']}\t"
+                                 f"{hit['distance']:.6f}\t"
+                                 f"{hit['cluster_id']}\t"
+                                 f"{hit['cluster_size']}\n")
+            return 0
         write_query_tsv(state, ss, args.output, args.topk)
         return 0
     if args.repdb_assign:
