@@ -63,10 +63,13 @@ def main(argv=None) -> int:
     print(f"-----the size of sketches (genomes) is: {len(ss)}",
           file=sys.stderr)
     graph_path = (args.output + ".graph") if not args.no_save else None
+    # --louvain auto-enables the edge-parallel warm-start path
+    # (reference main.cpp:403-414)
     clusters = community_clusters(
         ss.hashes, args.threshold, kp.kmer_size, args.resolution,
         use_leiden=not use_louvain, knn_k=knn_k,
-        graph_save_path=graph_path, use_device=args.use_device)
+        graph_save_path=graph_path, use_device=args.use_device,
+        edge_parallel=use_louvain)
     write_cluster_file(args.output, clusters, ss, args.threshold)
     print(f"-----write the cluster result into: {args.output}",
           file=sys.stderr)

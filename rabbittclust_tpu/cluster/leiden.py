@@ -191,7 +191,8 @@ def community_clusters(hashes: List[np.ndarray], threshold: float,
                        kmer_size: int, resolution: float = 1.0,
                        use_leiden: bool = True, knn_k: int = 0,
                        graph_save_path: Optional[str] = None,
-                       use_device: bool = False) -> List[List[int]]:
+                       use_device: bool = False,
+                       edge_parallel: bool = False) -> List[List[int]]:
     n = len(hashes)
     if n == 0:
         return []
@@ -200,11 +201,13 @@ def community_clusters(hashes: List[np.ndarray], threshold: float,
     print(f"-----Edges created: {len(graph[0])}", file=sys.stderr)
     if graph_save_path:
         save_graph(graph, n, graph_save_path)
-    return cluster_graph(n, graph, resolution, use_leiden)
+    return cluster_graph(n, graph, resolution, use_leiden,
+                         edge_parallel=edge_parallel)
 
 
 def cluster_graph(n: int, graph: Graph, resolution: float,
-                  use_leiden: bool) -> List[List[int]]:
+                  use_leiden: bool,
+                  edge_parallel: bool = False) -> List[List[int]]:
     frm, to, w = graph
     if len(frm) == 0:
         return [[i] for i in range(n)]
@@ -214,7 +217,10 @@ def cluster_graph(n: int, graph: Graph, resolution: float,
         wmin, wmax = float(w.min()), float(w.max())
         if wmax - wmin < 0.5 and wmax - wmin > 1e-6:
             w = (w - wmin) / (wmax - wmin)
-    membership = louvain(n, (frm, to, w), resolution)
+    if edge_parallel:
+        membership = louvain_edge_parallel(n, (frm, to, w), resolution)
+    else:
+        membership = louvain(n, (frm, to, w), resolution)
     clusters: Dict[int, List[int]] = {}
     for i, c in enumerate(membership.tolist()):
         clusters.setdefault(c, []).append(i)
@@ -222,3 +228,74 @@ def cluster_graph(n: int, graph: Graph, resolution: float,
     result.sort(key=len, reverse=True)
     print(f"-----Number of clusters: {len(result)}", file=sys.stderr)
     return result
+
+
+def modularity(n: int, graph: Graph, membership: np.ndarray,
+               resolution: float = 1.0) -> float:
+    frm, to, w = graph
+    if len(frm) == 0:
+        return 0.0
+    deg = np.zeros(n, dtype=np.float64)
+    np.add.at(deg, frm, w)
+    np.add.at(deg, to, w)
+    two_m = deg.sum()
+    if two_m <= 0:
+        return 0.0
+    intra = w[membership[frm] == membership[to]].sum()
+    comm_deg = np.zeros(int(membership.max()) + 1, dtype=np.float64)
+    np.add.at(comm_deg, membership, deg)
+    return float(2.0 * intra / two_m -
+                 resolution * np.sum((comm_deg / two_m) ** 2))
+
+
+def louvain_edge_parallel(n: int, graph: Graph, resolution: float = 1.0,
+                          partitions: int = 4,
+                          warm_start: bool = True) -> np.ndarray:
+    """Edge-parallel Louvain with warm start (reference
+    KssdEdgeParallelLouvainCluster, leiden.cpp:1449-1746): edges are split
+    into partitions, local Louvain runs per edge subset, the best local
+    membership (by modularity on the full graph) seeds the final pass.
+
+    The final pass here reruns the global Louvain starting from the warm
+    membership's aggregated supergraph — same quality contract as the
+    reference's RunLouvainWithWarmStart."""
+    frm, to, w = graph
+    if len(frm) == 0 or not warm_start or partitions <= 1:
+        return louvain(n, graph, resolution)
+    bounds = np.linspace(0, len(frm), partitions + 1).astype(np.int64)
+    best_mem = None
+    best_q = -np.inf
+    for p in range(partitions):
+        sl = slice(bounds[p], bounds[p + 1])
+        if bounds[p + 1] - bounds[p] == 0:
+            continue
+        mem = louvain(n, (frm[sl], to[sl], w[sl]), resolution)
+        q = modularity(n, graph, mem, resolution)
+        if q > best_q:
+            best_q = q
+            best_mem = mem
+    if best_mem is None:
+        return louvain(n, graph, resolution)
+    # aggregate the full graph by the warm membership, cluster the
+    # supergraph, and compose
+    n_comm = int(best_mem.max()) + 1
+    cf = best_mem[frm]
+    ct = best_mem[to]
+    a = np.minimum(cf, ct)
+    b = np.maximum(cf, ct)
+    key = a.astype(np.int64) * n_comm + b
+    uk, inv = np.unique(key, return_inverse=True)
+    agg_w = np.zeros(len(uk), dtype=np.float64)
+    np.add.at(agg_w, inv, w)
+    super_mem = louvain(n_comm, ((uk // n_comm).astype(np.int64),
+                                 (uk % n_comm).astype(np.int64), agg_w),
+                        resolution)
+    composed = super_mem[best_mem]
+    # keep whichever is better: warm-start composition or plain Louvain
+    plain = louvain(n, graph, resolution)
+    if modularity(n, graph, composed, resolution) >= \
+            modularity(n, graph, plain, resolution):
+        _, out = np.unique(composed, return_inverse=True)
+    else:
+        _, out = np.unique(plain, return_inverse=True)
+    return out

@@ -139,3 +139,16 @@ def test_dbscan_device_path_matches_host(sketched, synthetic_genomes):
     assert [sorted(c) for c in host.clusters] == \
         [sorted(c) for c in dev.clusters]
     assert host.noise == dev.noise
+
+
+def test_edge_parallel_warm_start(sketched, synthetic_genomes):
+    from rabbittclust_tpu.cluster.leiden import (
+        build_similarity_graph, louvain_edge_parallel)
+    ss, p = sketched
+    g = build_similarity_graph(ss.hashes, 0.05, p.kmer_size)
+    mem = louvain_edge_parallel(len(ss), g, partitions=3)
+    clusters = {}
+    for i, c in enumerate(mem.tolist()):
+        clusters.setdefault(c, []).append(i)
+    labels = clusters_to_labels(list(clusters.values()), len(ss))
+    assert same_partition(labels, synthetic_genomes.labels)
