@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import sys
 
-from .common import base_parser, make_output_options, validate_common
+from .common import base_parser, validate_common
 from .. import workflows as wf
 from ..cluster.dbscan import dbscan_cluster, write_dbscan_result
 

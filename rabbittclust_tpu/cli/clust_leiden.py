@@ -5,7 +5,6 @@ from __future__ import annotations
 import sys
 
 from .common import base_parser, make_output_options, validate_common
-from .. import workflows as wf
 from ..cluster.leiden import cluster_graph, community_clusters, load_graph
 from ..state.cluster_io import write_cluster_file
 

@@ -6,10 +6,8 @@ Output TSV formats match the reference exactly
 
 from __future__ import annotations
 
-import os
 import sys
 
-from .. import workflows as wf
 from ..io.fasta import read_file_list
 from ..sketch.kssd import sketch_files_kssd, sketch_sequences_kssd
 from ..state.greedy_state import KssdClusterState

@@ -14,7 +14,7 @@ tiles; both feed this module's Kruskal/labeling.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Iterator, List, Optional, Tuple
 
 import numpy as np

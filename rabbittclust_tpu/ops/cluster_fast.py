@@ -13,7 +13,6 @@ single-linkage partition (every cross-component candidate is verified).
 
 from __future__ import annotations
 
-import math
 from typing import List
 
 import numpy as np

@@ -19,7 +19,6 @@ never change a cluster decision.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ an N-device mesh; ``distributed_candidate_counts`` runs the full ring.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import numpy as np

@@ -18,7 +18,6 @@ uses the user-specified threshold (sub_command.cpp:1853-1897).
 
 from __future__ import annotations
 
-import math
 import sys
 from bisect import bisect_right
 from dataclasses import dataclass, field

@@ -15,8 +15,6 @@ from __future__ import annotations
 import sys
 from typing import Dict, List, Tuple
 
-import numpy as np
-
 from ..cluster.union_find import UnionFind
 
 

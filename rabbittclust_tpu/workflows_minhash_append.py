@@ -2,17 +2,9 @@
 
 from __future__ import annotations
 
-import sys
-
-from .cluster.greedy import greedy_cluster
 from .io.fasta import read_file_list
-from .sketch.minhash import (
-    MinHashParams,
-    sketch_files_minhash,
-    sketch_sequences_minhash,
-)
+from .sketch.minhash import sketch_files_minhash, sketch_sequences_minhash
 from .state import sketch_io
-from .state.cluster_io import write_cluster_file
 from .workflows import OutputOptions, _mst_outputs, compute_minhash_clusters
 
 
