@@ -31,18 +31,39 @@ def main(argv=None) -> int:
         knn_k = 50
 
     if args.pregraph:
-        n, graph = load_graph(args.pregraph)
-        clusters = cluster_graph(n, graph, args.resolution, not use_louvain)
-        _write_membership(clusters, args.output)
+        import os
+        if os.path.isdir(args.pregraph):
+            # reference semantics (sub_command.cpp:3200-3226): the argument
+            # is a sketch folder; the graph lives at <folder>/leiden.graph
+            # and sketches supply the genome metadata for the output rows
+            from ..state.sketch_io import load_kssd_sketches
+            ss, _ = load_kssd_sketches(args.pregraph)
+            print(f"-----the size of sketches is: {len(ss)}", file=sys.stderr)
+            n, graph = load_graph(
+                os.path.join(args.pregraph, "leiden.graph"))
+            clusters = cluster_graph(n, graph, args.resolution,
+                                     not use_louvain)
+            write_cluster_file(args.output, clusters, ss, args.threshold)
+        else:
+            # convenience fallback: a bare graph file (ours are saved as
+            # <output>.graph); no sketch metadata, so rows carry ids only
+            n, graph = load_graph(args.pregraph)
+            clusters = cluster_graph(n, graph, args.resolution,
+                                     not use_louvain)
+            _write_membership(clusters, args.output)
+        print(f"-----write the cluster result into: {args.output}",
+              file=sys.stderr)
         return 0
 
     if not args.is_fast:
         print("ERROR: clust-leiden requires --fast option", file=sys.stderr)
         return 1
 
+    folder = None
     if args.presketched:
         from ..state.sketch_io import load_kssd_sketches
         ss, kp = load_kssd_sketches(args.presketched)
+        folder = args.presketched
     else:
         kmer_size = args.kmer_size or 19
         if not (0 <= args.drlevel <= 8):
@@ -61,7 +82,19 @@ def main(argv=None) -> int:
                                            args.threads)
     print(f"-----the size of sketches (genomes) is: {len(ss)}",
           file=sys.stderr)
-    graph_path = (args.output + ".graph") if not args.no_save else None
+    graph_path = None
+    if not args.no_save:
+        # save sketches to a run folder (reference compute_kssd_sketches,
+        # sub_command.cpp:3121) and the graph as <folder>/leiden.graph so
+        # --pregraph <folder> works for fast resolution sweeps
+        import os
+        from ..state import sketch_io
+        if folder is None:
+            folder = sketch_io.default_folder_path()
+            sketch_io.ensure_folder(folder)
+            sketch_io.save_kssd_sketches(ss, kp, folder)
+            sketch_io.save_kssd_index(ss.hashes, ss.use64, folder)
+        graph_path = os.path.join(folder, "leiden.graph")
     # --louvain auto-enables the edge-parallel warm-start path
     # (reference main.cpp:403-414)
     clusters = community_clusters(

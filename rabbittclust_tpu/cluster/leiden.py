@@ -6,11 +6,14 @@ Re-derivation of reference src/leiden.cpp:
     size-ratio filter min/max >= 0.5; optional per-node top-k (k-NN) pruning
     over forward neighbors (j > i);
   * community detection: the reference calls igraph Louvain
-    (community_multilevel) or Leiden; this build ships its own deterministic
-    array-based Louvain (igraph is not available in the TPU image).  The
-    --leiden flag maps to Louvain plus the reference's weight normalization
-    (leiden.cpp:343-366); clusters are returned sorted by size descending
-    (leiden.cpp:450-453).
+    (community_multilevel, leiden.cpp:390-400) or Leiden
+    (igraph_community_leiden, leiden.cpp:367-389); this build ships its own
+    deterministic array-based implementations of both (igraph is not in the
+    TPU image): ``louvain`` (multi-level local moves) and ``leiden`` (local
+    move -> well-connectedness-gated refinement -> aggregation on the
+    refined partition, Traag et al. 2019).  Default path is Leiden with the
+    reference's weight normalization (leiden.cpp:343-366); clusters are
+    returned sorted by size descending (leiden.cpp:450-453).
   * graph persistence: "num_nodes num_edges" header + "from to weight"
     rows (save_graph_to_file, leiden.cpp:474-491).
 """
@@ -96,11 +99,20 @@ def load_graph(path: str) -> Tuple[int, Graph]:
 # ---------------------------------------------------------------------------
 
 def _one_level(n: int, adj_idx, adj_nbr, adj_w, k_arr, two_m,
-               resolution: float) -> Tuple[np.ndarray, bool]:
+               resolution: float,
+               init: Optional[np.ndarray] = None) -> Tuple[np.ndarray, bool]:
     """One Louvain level: local moves until stable.  Deterministic: nodes in
-    ascending order; best community by max gain, ties -> lowest id."""
-    comm = np.arange(n, dtype=np.int64)
-    comm_tot = k_arr.copy()
+    ascending order; best community by max gain, ties -> lowest id.
+    ``init`` seeds the starting membership (used by Leiden levels, where the
+    aggregated graph starts from the previous level's unrefined partition)."""
+    if init is None:
+        comm = np.arange(n, dtype=np.int64)
+        comm_tot = k_arr.copy()
+    else:
+        comm = init.astype(np.int64).copy()
+        comm_tot = np.zeros(max(n, int(comm.max()) + 1 if n else 0),
+                            dtype=np.float64)
+        np.add.at(comm_tot, comm, k_arr)
     improved_any = False
     for _sweep in range(100):
         moved = False
@@ -187,6 +199,150 @@ def louvain(n: int, graph: Graph, resolution: float = 1.0
     return final
 
 
+def _refine(n: int, adj_idx, adj_nbr, adj_w, k_arr, two_m, comm,
+            resolution: float) -> np.ndarray:
+    """Leiden refinement phase (Traag et al. 2019, deterministic variant).
+
+    Within each community of ``comm``, nodes start as singletons and may
+    merge only into subcommunities of the SAME community.  A node may move
+    only while still singleton, only if it is well connected within its
+    community (E(v, C-v) >= gamma * k_v * (K_C - k_v) / 2m), and only into a
+    subcommunity that is itself well connected; the paper picks the target
+    randomly among positive-gain candidates — here we take max gain with
+    ties to the lowest subcommunity id, which keeps the well-connectedness
+    guarantee while making results reproducible."""
+    sub = np.arange(n, dtype=np.int64)
+    sub_tot = k_arr.copy()           # K_S per subcommunity
+    sub_size = np.ones(n, dtype=np.int64)
+    # E(v, C - v): weight from v to other nodes in its community
+    comm_tot = np.zeros(int(comm.max()) + 1 if n else 0, dtype=np.float64)
+    np.add.at(comm_tot, comm, k_arr)
+    # edge weight of each subcommunity to the rest of its community;
+    # singletons: E(S, C-S) == E(v, C-v)
+    ext = np.zeros(n, dtype=np.float64)
+    for u in range(n):
+        cu = comm[u]
+        nbrs = adj_nbr[adj_idx[u]:adj_idx[u + 1]]
+        wts = adj_w[adj_idx[u]:adj_idx[u + 1]]
+        same = comm[nbrs] == cu
+        ext[u] = wts[same].sum()
+    well_v = ext >= resolution * k_arr * (comm_tot[comm] - k_arr) / two_m
+    for u in range(n):
+        if sub_size[sub[u]] != 1 or not well_v[u]:
+            continue  # only still-singleton, well-connected nodes move
+        cu = comm[u]
+        nbrs = adj_nbr[adj_idx[u]:adj_idx[u + 1]]
+        wts = adj_w[adj_idx[u]:adj_idx[u + 1]]
+        links: Dict[int, float] = {}
+        for v, w in zip(nbrs.tolist(), wts.tolist()):
+            if comm[v] != cu:
+                continue
+            sv = int(sub[v])
+            if sv == sub[u]:
+                continue
+            links[sv] = links.get(sv, 0.0) + w
+        ku = k_arr[u]
+        best_s, best_gain = -1, 0.0
+        for sv, w_in in links.items():
+            # target subcommunity must be well connected within C
+            ks = sub_tot[sv]
+            if ext[sv] < resolution * ks * (comm_tot[cu] - ks) / two_m:
+                continue
+            gain = w_in - resolution * ks * ku / two_m
+            if gain > best_gain + 1e-12 or (
+                    abs(gain - best_gain) <= 1e-12 and best_gain > 0
+                    and sv < best_s):
+                best_gain = gain
+                best_s = sv
+        if best_s >= 0:
+            old = sub[u]
+            w_in = links[best_s]
+            sub[u] = best_s
+            sub_size[old] -= 1
+            sub_size[best_s] += 1
+            sub_tot[best_s] += ku
+            sub_tot[old] -= ku
+            # E(S', C-S') after absorbing u: add u's community-internal
+            # weight, minus twice the edges now internal to S'
+            ext[best_s] += ext[old] - 2.0 * w_in
+            ext[old] = 0.0
+    return sub
+
+
+def leiden(n: int, graph: Graph, resolution: float = 1.0) -> np.ndarray:
+    """Deterministic Leiden: local move -> refine -> aggregate on the refined
+    partition with the unrefined partition as the next level's start.
+
+    Communities are guaranteed internally connected (the property Louvain
+    lacks); parity target is igraph_community_leiden as invoked by the
+    reference (leiden.cpp:367-389; modularity objective, n_iterations=100).
+    Returns membership (n,) renumbered 0.."""
+    frm, to, w = graph
+    membership = np.arange(n, dtype=np.int64)
+    cur_n = n
+    cur_frm, cur_to, cur_w = (frm.astype(np.int64), to.astype(np.int64),
+                              w.astype(np.float64))
+    init: Optional[np.ndarray] = None
+    for _level in range(32):
+        if len(cur_frm) == 0:
+            break
+        deg_w = np.zeros(cur_n, dtype=np.float64)
+        np.add.at(deg_w, cur_frm, cur_w)
+        np.add.at(deg_w, cur_to, cur_w)
+        two_m = deg_w.sum()
+        if two_m <= 0:
+            break
+        src = np.concatenate([cur_frm, cur_to])
+        dst = np.concatenate([cur_to, cur_frm])
+        ww2 = np.concatenate([cur_w, cur_w])
+        order = np.argsort(src, kind="stable")
+        src, dst, ww2 = src[order], dst[order], ww2[order]
+        adj_idx = np.zeros(cur_n + 1, dtype=np.int64)
+        np.add.at(adj_idx, src + 1, 1)
+        adj_idx = np.cumsum(adj_idx)
+        comm, improved = _one_level(cur_n, adj_idx, dst, ww2, deg_w, two_m,
+                                    resolution, init=init)
+        _, comm = np.unique(comm, return_inverse=True)
+        if not improved:
+            membership = comm[membership]
+            break
+        refined = _refine(cur_n, adj_idx, dst, ww2, deg_w, two_m, comm,
+                          resolution)
+        uniq_r, ref_compact = np.unique(refined, return_inverse=True)
+        membership = ref_compact[membership]
+        if len(uniq_r) == cur_n:
+            # refinement left every aggregate node a singleton: converged.
+            # Final communities are the unrefined partition of this level.
+            membership = comm[_first_of_groups(ref_compact,
+                                               len(uniq_r))][membership]
+            break
+        # aggregate on the REFINED partition
+        cf = ref_compact[cur_frm]
+        ct = ref_compact[cur_to]
+        a = np.minimum(cf, ct)
+        b = np.maximum(cf, ct)
+        key = a * len(uniq_r) + b
+        uk, inv = np.unique(key, return_inverse=True)
+        agg_w = np.zeros(len(uk), dtype=np.float64)
+        np.add.at(agg_w, inv, cur_w)
+        cur_frm = (uk // len(uniq_r)).astype(np.int64)
+        cur_to = (uk % len(uniq_r)).astype(np.int64)
+        cur_w = agg_w
+        # next level starts from the UNREFINED communities: each refined
+        # subcommunity's initial community is its parent community in comm
+        init = comm[_first_of_groups(ref_compact, len(uniq_r))]
+        cur_n = len(uniq_r)
+    _, final = np.unique(membership, return_inverse=True)
+    return final
+
+
+def _first_of_groups(compact: np.ndarray, k: int) -> np.ndarray:
+    """Lowest original index of each group id 0..k-1 in ``compact``."""
+    first = np.full(k, len(compact), dtype=np.int64)
+    np.minimum.at(first, compact, np.arange(len(compact)))
+    return first
+
+
 def community_clusters(hashes: List[np.ndarray], threshold: float,
                        kmer_size: int, resolution: float = 1.0,
                        use_leiden: bool = True, knn_k: int = 0,
@@ -213,12 +369,14 @@ def cluster_graph(n: int, graph: Graph, resolution: float,
         return [[i] for i in range(n)]
     if use_leiden:
         # reference normalizes narrow weight ranges before Leiden
-        # (leiden.cpp:343-366); our detector is Louvain either way
+        # (leiden.cpp:343-366)
         wmin, wmax = float(w.min()), float(w.max())
         if wmax - wmin < 0.5 and wmax - wmin > 1e-6:
             w = (w - wmin) / (wmax - wmin)
     if edge_parallel:
         membership = louvain_edge_parallel(n, (frm, to, w), resolution)
+    elif use_leiden:
+        membership = leiden(n, (frm, to, w), resolution)
     else:
         membership = louvain(n, (frm, to, w), resolution)
     clusters: Dict[int, List[int]] = {}

@@ -152,3 +152,75 @@ def test_edge_parallel_warm_start(sketched, synthetic_genomes):
         clusters.setdefault(c, []).append(i)
     labels = clusters_to_labels(list(clusters.values()), len(ss))
     assert same_partition(labels, synthetic_genomes.labels)
+
+
+def test_leiden_splits_weakly_linked():
+    """True Leiden (refinement path) also splits two weakly-joined cliques."""
+    from rabbittclust_tpu.cluster.leiden import leiden
+    edges = []
+    for block, off in ((0, 0), (1, 8)):
+        for a in range(8):
+            for b in range(a):
+                edges.append((off + b, off + a, 1.0))
+    edges.append((0, 8, 0.05))
+    frm = np.array([e[0] for e in edges])
+    to = np.array([e[1] for e in edges])
+    w = np.array([e[2] for e in edges])
+    mem = leiden(16, (frm, to, w))
+    assert len(set(mem[:8].tolist())) == 1
+    assert len(set(mem[8:].tolist())) == 1
+    assert mem[0] != mem[8]
+
+
+def test_leiden_deterministic_and_quality():
+    """Leiden is reproducible and its modularity matches or beats Louvain on
+    a planted-partition graph."""
+    from rabbittclust_tpu.cluster.leiden import leiden, modularity
+    rng = np.random.default_rng(7)
+    n, k = 60, 4
+    labels = np.repeat(np.arange(k), n // k)
+    frm_l, to_l, w_l = [], [], []
+    for a in range(n):
+        for b in range(a):
+            p = 0.6 if labels[a] == labels[b] else 0.02
+            if rng.random() < p:
+                frm_l.append(b)
+                to_l.append(a)
+                w_l.append(1.0)
+    g = (np.array(frm_l), np.array(to_l), np.array(w_l, dtype=np.float64))
+    m1 = leiden(n, g)
+    m2 = leiden(n, g)
+    assert np.array_equal(m1, m2)
+    from rabbittclust_tpu.cluster.leiden import louvain as _louvain
+    q_leiden = modularity(n, g, m1)
+    q_louvain = modularity(n, g, _louvain(n, g))
+    assert q_leiden >= q_louvain - 1e-9
+
+
+def test_leiden_communities_internally_connected():
+    """The Leiden guarantee Louvain lacks: every community induces a
+    connected subgraph."""
+    from rabbittclust_tpu.cluster.leiden import leiden
+    from rabbittclust_tpu.cluster.union_find import UnionFind
+    rng = np.random.default_rng(11)
+    n = 80
+    frm_l, to_l, w_l = [], [], []
+    for a in range(n):
+        for b in range(a):
+            if rng.random() < 0.08:
+                frm_l.append(b)
+                to_l.append(a)
+                w_l.append(float(rng.random()))
+    g = (np.array(frm_l), np.array(to_l), np.array(w_l))
+    mem = leiden(n, g)
+    for c in set(mem.tolist()):
+        nodes = np.flatnonzero(mem == c)
+        if len(nodes) == 1:
+            continue
+        node_set = set(nodes.tolist())
+        uf = UnionFind(n)
+        for a, b in zip(g[0].tolist(), g[1].tolist()):
+            if a in node_set and b in node_set:
+                uf.merge(a, b)
+        roots = {uf.find(int(x)) for x in nodes}
+        assert len(roots) == 1, f"community {c} not internally connected"
