@@ -186,6 +186,7 @@ def greedy_cluster_batched(
     kmer_size: int,
     batch_size: int = 64,
     presorted: bool = False,
+    is_containment: bool = False,
 ) -> GreedyResult:
     """Batched greedy variant (reference
     KssdGreedyClusterWithInvertedIndexBatched, greedy.cpp:1412-1543):
@@ -193,6 +194,9 @@ def greedy_cluster_batched(
     parallel (min exact distance <= threshold); conflicts are resolved by
     inserting results in distance-descending order, so would-be
     representatives are registered before closer matches are assigned.
+    Exact-distance ties go to the smallest rep id (the reference iterates an
+    unordered_map, i.e. its tie order is unspecified); the device variant
+    (ops/greedy_device.py) reproduces this tie-break bit-exactly.
     """
     n = len(hashes)
     if n == 0:
@@ -223,6 +227,19 @@ def greedy_cluster_batched(
         d = -math.log(2 * j / (1.0 + j)) / kmer_size
         return min(d, 1.0)
 
+    def aaf(common, s0, s1):
+        mn = min(s0, s1)
+        if mn == 0:
+            return 1.0
+        c = common / mn
+        if c == 1.0:
+            return 0.0
+        if c == 0.0:
+            return 1.0
+        return min(-math.log(c) / kmer_size, 1.0)
+
+    dist_fn = aaf if is_containment else mash
+
     for b0 in range(1, n, batch_size):
         b1 = min(b0 + batch_size, n)
         results = []
@@ -230,8 +247,9 @@ def greedy_cluster_batched(
             touched, counts = index.probe(inv[j])
             best_d, best_rep = float("inf"), -1
             for rep_id, common in zip(touched, counts):
-                d = mash(common, int(sizes[j]), int(sizes[rep_id]))
-                if d <= threshold and d < best_d:
+                d = dist_fn(common, int(sizes[j]), int(sizes[rep_id]))
+                if d <= threshold and (d < best_d or
+                                       (d == best_d and rep_id < best_rep)):
                     best_d, best_rep = d, rep_id
             results.append((j, best_d, best_rep))
         # distance-descending conflict resolution (ties: stable)

@@ -1,0 +1,240 @@
+"""Device-accelerated greedy clustering: batch-vs-reps bitmap matmul.
+
+TPU-native counterpart of the reference's batched greedy
+(KssdGreedyClusterWithInvertedIndexBatched, greedy.cpp:1412-1543).  The
+host batched variant probes a rep-only inverted index per genome; here each
+batch's candidate generation is ONE int8 matmul on the MXU:
+
+    shared = unpack(sig[batch]) @ unpack(sig[reps]).T        (B, R) int32
+
+with the same deterministic no-false-negative bound as ops/bitmap.py
+(shared_bits >= common_min - min(collisions)).  Survivor pairs are verified
+with the exact native two-pointer kernel and the final decision (min exact
+float64 distance <= threshold, ties to the smallest rep id, conflicts
+resolved distance-descending) is identical to
+cluster.greedy.greedy_cluster_batched — the result matches it bit-exactly.
+
+All genome signatures are packed once and stay device-resident; the rep set
+is addressed by a padded index vector whose capacity doubles as reps grow,
+so recompiles are O(log reps) and each batch costs one device round trip.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List
+
+import numpy as np
+
+from ..cluster.greedy import GreedyResult
+from ..distance.mash import aaf_distance, mash_distance, \
+    min_jaccard_for_threshold
+from .bitmap import CsrSketches, _unpack_bits_device, pack_bitmaps_packed
+
+
+def _greedy_filter_fn(x_all, batch_idx, rep_idx, coll, sizes, jmin_num,
+                      jmin_den, c_min, radio_f, is_containment, cap,
+                      triangular=False):
+    """Device: candidate (batch, rep) pairs for one batch.
+
+    Returns one fused int32 array [count, flat_idx(cap)] where
+    flat = b_local * R_cap + r_local.  Pad slots (batch or rep) point at a
+    zero-size padding genome, so the size > 0 check masks them out.
+    ``triangular`` restricts to column position < row position (used for
+    in-batch pairs, where both axes are the batch in ascending order)."""
+    import jax
+    import jax.numpy as jnp
+
+    xb = _unpack_bits_device(jnp.take(x_all, batch_idx, axis=0))
+    xr = _unpack_bits_device(jnp.take(x_all, rep_idx, axis=0))
+    shared = jax.lax.dot_general(
+        xb, xr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+    sb = jnp.take(sizes, batch_idx)
+    sr = jnp.take(sizes, rep_idx)
+    cb = jnp.take(coll, batch_idx)
+    cr = jnp.take(coll, rep_idx)
+    sb_f = sb[:, None].astype(jnp.float32)
+    sr_f = sr[None, :].astype(jnp.float32)
+    # float32 bound with a -1 safety margin (see ops/bitmap._filter_block_fn)
+    if is_containment:
+        mn = jnp.minimum(sb_f, sr_f)
+        common_min = jnp.floor(c_min * mn).astype(jnp.int32) - 1
+    else:
+        common_min = jnp.floor(
+            jmin_num * (sb_f + sr_f) / jmin_den).astype(jnp.int32) - 1
+    thresh = common_min - jnp.minimum(cb[:, None], cr[None, :])
+    # size window in float with +1 slack: d <= t implies max <= min/j_min,
+    # never truncate this bound down (false negatives are correctness bugs).
+    # Containment has NO size-ratio implication (a small sketch may be fully
+    # contained in an arbitrarily large one) — only require nonzero sizes.
+    mn_i = jnp.minimum(sb_f, sr_f)
+    mx_i = jnp.maximum(sb_f, sr_f)
+    if is_containment:
+        ratio_ok = mn_i > 0
+    else:
+        ratio_ok = (mn_i > 0) & (mx_i <= radio_f * mn_i + 1.0)
+    mask = (shared >= thresh) & ratio_ok
+    if triangular:
+        b, r = mask.shape
+        iidx = jax.lax.broadcasted_iota(jnp.int32, (b, r), 0)
+        jidx = jax.lax.broadcasted_iota(jnp.int32, (b, r), 1)
+        mask &= jidx < iidx
+    count = jnp.sum(mask, dtype=jnp.int32)
+    (flat_idx,) = jnp.nonzero(mask.reshape(-1), size=cap, fill_value=-1)
+    return jnp.concatenate([count[None], flat_idx.astype(jnp.int32)])
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_greedy_filter():
+    import jax
+    return jax.jit(_greedy_filter_fn,
+                   static_argnames=("is_containment", "cap", "triangular"))
+
+
+def greedy_cluster_device(
+    hashes: List[np.ndarray],
+    threshold: float,
+    kmer_size: int,
+    batch_size: int = 2048,
+    presorted: bool = False,
+    is_containment: bool = False,
+    bits: int = 8192,
+    conflict: str = "serial",
+) -> GreedyResult:
+    """Greedy clustering with device candidate generation.
+
+    ``conflict`` selects the in-batch semantics:
+      * "serial" (default): an extra triangular in-batch matmul supplies
+        candidates among batch members, and the exact serial greedy loop is
+        replayed on the host over the precomputed candidate distances —
+        equivalent to the reference's default serial algorithm
+        (greedy.cpp:566-899) except that exact-distance ties resolve to the
+        smallest rep id rather than hash-posting touch order;
+      * "batched": bit-exact match of
+        cluster.greedy.greedy_cluster_batched at the same batch_size
+        (reference's experimental batched variant semantics — batch members
+        never match reps created within their own batch)."""
+    import jax.numpy as jnp
+    from ..utils.jaxcfg import configure_jax
+    configure_jax()
+
+    n = len(hashes)
+    if n == 0:
+        return GreedyResult([], [], np.empty(0, dtype=np.int64))
+    if presorted:
+        order = np.arange(n, dtype=np.int64)
+        inv = list(hashes)
+    else:
+        sizes0 = np.array([len(h) for h in hashes], dtype=np.int64)
+        order = np.lexsort((np.arange(n), -sizes0))
+        inv = [hashes[i] for i in order]
+
+    xp, coll = pack_bitmaps_packed(inv, bits=bits, pad_n_to=128)
+    n_pad = xp.shape[0]
+    pad_slot = n_pad - 1 if n < n_pad else n_pad  # zero-size row for padding
+    if n == n_pad:  # no spare padded row: append one
+        xp = np.vstack([xp, np.zeros((1, xp.shape[1]), dtype=np.uint8)])
+        coll = np.r_[coll, np.int32(0)]
+        pad_slot = n_pad
+    sizes_pad = np.zeros(xp.shape[0], dtype=np.int32)
+    sizes = np.array([len(h) for h in inv], dtype=np.int64)
+    sizes_pad[:n] = sizes
+
+    j_min = min_jaccard_for_threshold(threshold, kmer_size)
+    c_min = math.exp(-threshold * kmer_size)
+    radio_f = 2.0 * math.exp(threshold * kmer_size) - 1.0
+
+    xd = jnp.asarray(xp)
+    cd = jnp.asarray(coll)
+    sd = jnp.asarray(sizes_pad)
+    filt = _jitted_greedy_filter()
+    csr = CsrSketches(inv)
+
+    rep_order: List[int] = [0]
+    members = {0: []}
+    rep_cap = 1024
+    cap = max(1 << 18, batch_size * 64)
+
+    def _run_filter(batch_idx, other_idx, other_cap, triangular):
+        nonlocal cap
+        while True:
+            fused = np.asarray(filt(
+                xd, jnp.asarray(batch_idx), jnp.asarray(other_idx), cd, sd,
+                jnp.float32(j_min), jnp.float32(1.0 + j_min),
+                jnp.float32(c_min), jnp.float32(radio_f), is_containment,
+                cap, triangular))
+            count = int(fused[0])
+            if count <= cap:
+                break
+            cap *= 4
+        if not count:
+            e = np.empty(0, dtype=np.int64)
+            return e, e.copy(), np.empty(0, dtype=np.float64)
+        flat = fused[1:1 + count].astype(np.int64)
+        bi = batch_idx[flat // other_cap].astype(np.int64)
+        ri = other_idx[flat % other_cap].astype(np.int64)
+        common = csr.count_common(bi, ri)
+        if is_containment:
+            d = aaf_distance(common, sizes[bi], sizes[ri], kmer_size)
+        else:
+            d = mash_distance(common, sizes[bi], sizes[ri], kmer_size)
+        ok = (common > 0) & (d <= threshold)
+        return bi[ok], ri[ok], d[ok]
+
+    for b0 in range(1, n, batch_size):
+        b1 = min(b0 + batch_size, n)
+        batch_idx = np.full(batch_size, pad_slot, dtype=np.int32)
+        batch_idx[:b1 - b0] = np.arange(b0, b1, dtype=np.int32)
+        while rep_cap < len(rep_order):
+            rep_cap *= 2
+        rep_idx = np.full(rep_cap, pad_slot, dtype=np.int32)
+        rep_idx[:len(rep_order)] = rep_order
+        vs_reps = _run_filter(batch_idx, rep_idx, rep_cap, False)
+        if conflict == "serial":
+            # in-batch candidate pairs (column position < row position)
+            vs_batch = _run_filter(batch_idx, batch_idx, batch_size, True)
+            # per-batch-member candidate list: (dist, cand_id)
+            cand = {j: [] for j in range(b0, b1)}
+            for b, r, dd in zip(*[x.tolist() for x in vs_reps]):
+                cand[b].append((dd, r))
+            for b, r, dd in zip(vs_batch[0].tolist(), vs_batch[1].tolist(),
+                                vs_batch[2].tolist()):
+                cand[b].append((dd, r))
+            rep_set = set(rep_order)
+            for j in range(b0, b1):
+                best_d, best_rep = float("inf"), -1
+                for dd, r in cand[j]:
+                    if r in rep_set and (dd < best_d or
+                                         (dd == best_d and r < best_rep)):
+                        best_d, best_rep = dd, r
+                if best_rep != -1:
+                    members[best_rep].append(j)
+                else:
+                    rep_order.append(j)
+                    rep_set.add(j)
+                    members[j] = []
+        else:  # "batched"
+            best = {}
+            for b, r, dd in zip(vs_reps[0].tolist(), vs_reps[1].tolist(),
+                                vs_reps[2].tolist()):
+                cur = best.get(b)
+                if cur is None or dd < cur[0] or (dd == cur[0] and
+                                                  r < cur[1]):
+                    best[b] = (dd, r)
+            results = [(j,) + best.get(j, (float("inf"), -1))
+                       for j in range(b0, b1)]
+            # distance-descending conflict resolution (ties: stable order)
+            results.sort(key=lambda t: -t[1])
+            for j, _d, rep in results:
+                if rep != -1:
+                    members[rep].append(j)
+                else:
+                    rep_order.append(j)
+                    members[j] = []
+
+    clusters = [[int(order[r])] + [int(order[m]) for m in members[r]]
+                for r in rep_order]
+    reps_orig = [int(order[r]) for r in rep_order]
+    return GreedyResult(clusters=clusters, representatives=reps_orig,
+                        order=order)

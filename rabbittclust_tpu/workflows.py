@@ -292,9 +292,18 @@ def compute_kssd_clusters(ss: SketchSet, p: KssdParams, threshold: float,
     if module == "greedy":
         order = ss.sort_by_size_desc()
         ss2 = ss.reorder(order)
-        gres = greedy_cluster(ss2.hashes, threshold, p.kmer_size,
-                              presorted=True, is_containment=False,
-                              progress=True)
+        if opts.use_device:
+            # MXU batch-vs-reps candidate generation; semantics of the
+            # reference's batched greedy (greedy.cpp:1412-1543) — exact
+            # distances, conflicts resolved distance-descending
+            from .ops.greedy_device import greedy_cluster_device
+            gres = greedy_cluster_device(ss2.hashes, threshold, p.kmer_size,
+                                         presorted=True,
+                                         is_containment=False)
+        else:
+            gres = greedy_cluster(ss2.hashes, threshold, p.kmer_size,
+                                  presorted=True, is_containment=False,
+                                  progress=True)
         # greedy main output has no threshold header (sub_command.cpp:1969)
         write_cluster_file(output_file, gres.clusters, ss2)
         log(f"-----write the cluster result into: {output_file}")
@@ -511,9 +520,16 @@ def compute_minhash_clusters(ss: SketchSet, p: MinHashParams,
     if module == "greedy":
         order = ss.sort_by_size_desc()
         ss2 = ss.reorder(order)
-        gres = greedy_cluster(ss2.hashes, threshold, p.kmer_size,
-                              presorted=True,
-                              is_containment=p.is_containment, progress=True)
+        if opts.use_device:
+            from .ops.greedy_device import greedy_cluster_device
+            gres = greedy_cluster_device(ss2.hashes, threshold, p.kmer_size,
+                                         presorted=True,
+                                         is_containment=p.is_containment)
+        else:
+            gres = greedy_cluster(ss2.hashes, threshold, p.kmer_size,
+                                  presorted=True,
+                                  is_containment=p.is_containment,
+                                  progress=True)
         write_cluster_file(output_file, gres.clusters, ss2)
         log(f"-----the number of clusters is: {len(gres.clusters)}")
         return gres.clusters, ss2

@@ -199,3 +199,53 @@ def test_distributed_mst_exact(synthetic_genomes):
     cd = clusters_from_forest(cut_forest(res_d.mst, 0.05), 16)
     ch = clusters_from_forest(cut_forest(res_h.mst, 0.05), 16)
     assert cd == ch
+
+
+def test_greedy_device_matches_host_batched():
+    """Device greedy (bitmap matmul candidates) == host batched greedy,
+    bit-exactly, for both mash and containment modes."""
+    from rabbittclust_tpu.cluster.greedy import greedy_cluster_batched
+    from rabbittclust_tpu.ops.greedy_device import greedy_cluster_device
+    rng = np.random.default_rng(5)
+    hashes = []
+    # 8 clusters of overlapping sketches + singletons, varied sizes
+    for c in range(8):
+        base = rng.choice(1 << 22, size=600, replace=False).astype(np.uint32)
+        for g in range(6):
+            keep = rng.random(len(base)) > 0.05 * g
+            extra = rng.choice(1 << 22, size=30 * g, replace=False)
+            hashes.append(np.unique(np.r_[base[keep],
+                                          extra.astype(np.uint32)]))
+    for _ in range(10):
+        hashes.append(np.unique(
+            rng.choice(1 << 22, size=400).astype(np.uint32)))
+    for bs in (7, 64):
+        for cont in (False, True):
+            host = greedy_cluster_batched(hashes, 0.05, 21, batch_size=bs,
+                                          is_containment=cont)
+            dev = greedy_cluster_device(hashes, 0.05, 21, batch_size=bs,
+                                        is_containment=cont,
+                                        conflict="batched")
+            assert host.representatives == dev.representatives, (bs, cont)
+            assert host.clusters == dev.clusters, (bs, cont)
+
+
+def test_greedy_device_serial_mode_matches_serial():
+    """conflict="serial" replays the exact serial loop over device-generated
+    candidates: equal to host serial greedy at ANY batch size (up to
+    exact-distance ties, absent in this data)."""
+    from rabbittclust_tpu.cluster.greedy import greedy_cluster
+    from rabbittclust_tpu.ops.greedy_device import greedy_cluster_device
+    rng = np.random.default_rng(9)
+    hashes = []
+    for c in range(5):
+        base = (rng.choice(1 << 22, size=500, replace=False).astype(np.uint32)
+                + np.uint32(c << 23))
+        for g in range(4):
+            keep = rng.random(len(base)) > 0.03
+            hashes.append(np.sort(base[keep]))
+    serial = greedy_cluster(hashes, 0.05, 21)
+    for bs in (1, 8, 4096):
+        dev = greedy_cluster_device(hashes, 0.05, 21, batch_size=bs)
+        assert serial.representatives == dev.representatives, bs
+        assert serial.clusters == dev.clusters, bs
