@@ -16,8 +16,10 @@ vs_baseline = host_time / tpu_time on identical input with identical
 (verified) cluster output.
 """
 
+import hashlib
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -85,10 +87,34 @@ def measure_filter_compute(hashes, threshold, kmer_size, reps=8):
     return n_pad * n_pad / dt
 
 
-def partition_equal(a, b):
-    fa = set(frozenset(c) for c in a if c)
-    fb = set(frozenset(c) for c in b if c)
-    return fa == fb
+def partition_digest(clusters):
+    canon = sorted(tuple(sorted(c)) for c in clusters if c)
+    return hashlib.sha256(repr(canon).encode()).hexdigest()
+
+
+def device_child():
+    """Run the device path in an isolated process (invoked as a subprocess
+    so a hung tunnel can be killed by the parent's timeout)."""
+    n = int(os.environ.get("BENCH_N", "16384"))
+    s = int(os.environ.get("BENCH_S", "1000"))
+    threshold = 0.05
+    kmer_size = 21
+    hashes = make_sketches(n=n, s=s)
+    import jax
+    backend = jax.default_backend()
+    # warm-up with identical shapes (compile; cached persistently)
+    _ = clusters_tpu(hashes, threshold, kmer_size)
+    t0 = time.perf_counter()
+    ct = clusters_tpu(hashes, threshold, kmer_size)
+    t_tpu = time.perf_counter() - t0
+    out = {"backend": backend, "t_device_s": t_tpu,
+           "digest": partition_digest(ct)}
+    if os.environ.get("BENCH_FILTER") == "1":
+        # optional: device-compute-only filter throughput (extra compiled
+        # program; the remote tunnel can be flaky under load)
+        out["filter_pairs_per_s"] = measure_filter_compute(
+            hashes, threshold, kmer_size)
+    print(json.dumps(out), flush=True)
 
 
 def main():
@@ -99,29 +125,28 @@ def main():
     hashes = make_sketches(n=n, s=s)
     pairs = n * (n - 1) / 2
 
-    # host baseline
+    # host baseline (this process never touches the device — the single
+    # TPU grant belongs to the child)
     t0 = time.perf_counter()
     ch = clusters_host(hashes, threshold, kmer_size)
     t_host = time.perf_counter() - t0
 
-    # TPU path (falls back to CPU jax if no TPU — still the same pipeline)
+    # device path in a killable subprocess: the tunnel can wedge
+    # indefinitely, and a hung RPC is not interruptible in-process
     filter_pairs_per_s = None
+    timeout = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "1800"))
     try:
-        import jax
-        backend = jax.default_backend()
-        # warm-up with identical shapes (compile; cached persistently)
-        _ = clusters_tpu(hashes, threshold, kmer_size)
-        t0 = time.perf_counter()
-        ct = clusters_tpu(hashes, threshold, kmer_size)
-        t_tpu = time.perf_counter() - t0
-        ok = partition_equal(ch, ct)
-        if os.environ.get("BENCH_FILTER") == "1":
-            # optional: device-compute-only filter throughput (extra
-            # compiled program; the remote tunnel can be flaky under load)
-            filter_pairs_per_s = measure_filter_compute(hashes, threshold,
-                                                        kmer_size)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--device-child"],
+            capture_output=True, text=True, timeout=timeout)
+        sys.stderr.write(proc.stderr[-2000:])
+        info = json.loads(proc.stdout.strip().splitlines()[-1])
+        backend = info["backend"]
+        t_tpu = float(info["t_device_s"])
+        ok = info["digest"] == partition_digest(ch)
+        filter_pairs_per_s = info.get("filter_pairs_per_s")
     except Exception as e:  # pragma: no cover
-        print(f"bench: device path failed: {e}", file=sys.stderr)
+        print(f"bench: device path failed/timed out: {e}", file=sys.stderr)
         backend = "none"
         t_tpu = t_host
         ok = True
@@ -153,4 +178,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--device-child" in sys.argv:
+        device_child()
+    else:
+        main()
