@@ -57,19 +57,21 @@ def build_similarity_graph(hashes: List[np.ndarray], threshold: float,
     ii = np.concatenate(ii_parts)
     jj = np.concatenate(jj_parts)
     ww = np.concatenate(ww_parts)
-    if knn_k > 0 and len(ii):
-        # per-node top-k over forward neighbors (smaller id is "from";
-        # reference keeps top-k of {j > i} per i, leiden.cpp:195-231)
-        frm = np.minimum(ii, jj)
-        to = np.maximum(ii, jj)
-        order = np.lexsort((1.0 - ww, frm))   # by from, then dist asc
-        frm, to, ww = frm[order], to[order], ww[order]
-        starts = np.flatnonzero(np.r_[True, frm[1:] != frm[:-1]])
-        lens = np.diff(np.r_[starts, len(frm)])
-        rank = np.arange(len(frm)) - np.repeat(starts, lens)
-        keep = rank < knn_k
-        return frm[keep], to[keep], ww[keep]
-    return np.minimum(ii, jj), np.maximum(ii, jj), ww
+    return _knn_prune(np.minimum(ii, jj), np.maximum(ii, jj), ww, knn_k)
+
+
+def _knn_prune(frm, to, ww, knn_k: int) -> Graph:
+    """Per-node top-k over forward neighbors (smaller id is "from";
+    reference keeps top-k of {j > i} per i, leiden.cpp:195-231)."""
+    if knn_k <= 0 or not len(frm):
+        return frm, to, ww
+    order = np.lexsort((1.0 - ww, frm))   # by from, then dist asc
+    frm, to, ww = frm[order], to[order], ww[order]
+    starts = np.flatnonzero(np.r_[True, frm[1:] != frm[:-1]])
+    lens = np.diff(np.r_[starts, len(frm)])
+    rank = np.arange(len(frm)) - np.repeat(starts, lens)
+    keep = rank < knn_k
+    return frm[keep], to[keep], ww[keep]
 
 
 def save_graph(graph: Graph, num_nodes: int, path: str) -> None:
@@ -348,12 +350,21 @@ def community_clusters(hashes: List[np.ndarray], threshold: float,
                        use_leiden: bool = True, knn_k: int = 0,
                        graph_save_path: Optional[str] = None,
                        use_device: bool = False,
-                       edge_parallel: bool = False) -> List[List[int]]:
+                       edge_parallel: bool = False,
+                       mesh=None) -> List[List[int]]:
     n = len(hashes)
     if n == 0:
         return []
-    graph = build_similarity_graph(hashes, threshold, kmer_size, knn_k,
-                                   use_device)
+    if mesh is not None:
+        # multi-chip graph construction: ring-rotated pair tiles over ICI
+        # (identical edge set/weights as the host builder — exact counts)
+        from ..parallel.dist_engine import distributed_similarity_graph
+        frm, to, ww = distributed_similarity_graph(
+            hashes, threshold, kmer_size, mesh=mesh)
+        graph = _knn_prune(frm, to, ww, knn_k)
+    else:
+        graph = build_similarity_graph(hashes, threshold, kmer_size, knn_k,
+                                       use_device)
     print(f"-----Edges created: {len(graph[0])}", file=sys.stderr)
     if graph_save_path:
         save_graph(graph, n, graph_save_path)

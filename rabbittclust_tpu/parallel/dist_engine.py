@@ -190,9 +190,15 @@ def build_ring_edges_fn(threshold: float, kmer_size: int, radio: int,
 
 def distributed_candidate_edges(packed_plane0: np.ndarray,
                                 sizes: np.ndarray, threshold: float,
-                                kmer_size: int, mesh=None, cap: int = 4096):
+                                kmer_size: int, mesh=None, cap: int = 4096,
+                                radio: Optional[int] = None):
     """Exact candidate edges (i, j, common) across the mesh, every pair
-    covered exactly once (pair ownership: global_i > global_j)."""
+    covered exactly once (pair ownership: global_i > global_j).
+
+    ``radio`` overrides the size-ratio prefilter; default is the reference's
+    int-truncated MST prefilter (size_ratio_limit with k-1).  Callers whose
+    downstream filter differs (e.g. the Leiden graph's ratio >= 0.5) pass a
+    safe superset bound instead."""
     import jax
     import jax.numpy as jnp
     from jax.experimental.shard_map import shard_map
@@ -204,7 +210,8 @@ def distributed_candidate_edges(packed_plane0: np.ndarray,
     n_dev = mesh.devices.size
     n = packed_plane0.shape[0]
     assert n % n_dev == 0, (n, n_dev)
-    radio = size_ratio_limit(threshold, kmer_size - 1)
+    if radio is None:
+        radio = size_ratio_limit(threshold, kmer_size - 1)
     ring_fn = build_ring_edges_fn(threshold, kmer_size, radio, cap)
     fn = shard_map(ring_fn, mesh=mesh,
                    in_specs=(P("data"), P("data"), P("data")),
@@ -266,3 +273,67 @@ def distributed_mst(hashes, threshold: float, kmer_size: int,
         d = mash_distance(common, s[ii], s[jj], kmer_size)
     mst = kruskal((ii, jj, d), n)
     return MstResult(mst=mst, n=n)
+
+
+def _pack_rows_for_mesh(hashes, mesh):
+    """Bucket-pack 32-bit sketches with rows padded to a mesh multiple."""
+    from ..ops.pack import pack_sketches
+
+    n_dev = int(mesh.devices.size)
+    n = len(hashes)
+    use64 = n > 0 and hashes[0].dtype == np.uint64
+    if use64:
+        raise NotImplementedError(
+            "distributed engines currently support 32-bit KSSD hashes")
+    pad = ((n + n_dev - 1) // n_dev) * n_dev
+    packed = pack_sketches(hashes, use64, pad_n_to=max(pad, n_dev))
+    plane0 = packed.plane0[:pad] if packed.plane0.shape[0] >= pad \
+        else packed.plane0
+    return plane0, packed.sizes[:plane0.shape[0]]
+
+
+def distributed_similarity_graph(hashes, threshold: float, kmer_size: int,
+                                 mesh=None, cap: int = 4096):
+    """Leiden similarity graph over the mesh: edge iff dist < threshold and
+    size ratio >= 0.5, weight = 1 - dist (leiden.cpp:188-256 semantics).
+
+    Identical edge set and float64 weights as
+    cluster.leiden.build_similarity_graph (no kNN) — the ring prefilter is a
+    strict superset (ceil size bound, no int truncation) and the exact
+    filters run on the host from exact counts."""
+    import math
+    from ..distance.mash import mash_distance
+
+    if mesh is None:
+        mesh = make_mesh()
+    n = len(hashes)
+    plane0, sizes = _pack_rows_for_mesh(hashes, mesh)
+    # superset of both the Mash bound max <= min * (2e^{dk}-1) and the
+    # Leiden ratio >= 0.5 window
+    radio_safe = max(2, int(math.ceil(2.0 * math.exp(
+        threshold * kmer_size))) + 1)
+    ii, jj, common = distributed_candidate_edges(
+        plane0, sizes, threshold, kmer_size, mesh=mesh, cap=cap,
+        radio=radio_safe)
+    keep = (ii < n) & (jj < n)
+    ii, jj, common = ii[keep], jj[keep], common[keep]
+    s = np.array([len(h) for h in hashes], dtype=np.int64)
+    s0, s1 = s[ii], s[jj]
+    ratio = np.minimum(s0, s1) / np.maximum(np.maximum(s0, s1), 1)
+    d = np.clip(mash_distance(common, s0, s1, kmer_size), 0.0, 1.0)
+    ok = (ratio >= 0.5) & (d < threshold)
+    frm = np.minimum(ii[ok], jj[ok])
+    to = np.maximum(ii[ok], jj[ok])
+    return frm, to, 1.0 - d[ok]
+
+
+def distributed_threshold_clusters(hashes, threshold: float, kmer_size: int,
+                                   is_containment: bool = False, mesh=None,
+                                   cap: int = 4096):
+    """Exact single-linkage clusters at ``threshold`` over a device mesh
+    (BFS-ordered like the reference MST cut)."""
+    from ..cluster.mst import clusters_from_forest, cut_forest
+
+    res = distributed_mst(hashes, threshold, kmer_size,
+                          is_containment=is_containment, mesh=mesh, cap=cap)
+    return clusters_from_forest(cut_forest(res.mst, threshold), len(hashes))

@@ -249,3 +249,47 @@ def test_greedy_device_serial_mode_matches_serial():
         dev = greedy_cluster_device(hashes, 0.05, 21, batch_size=bs)
         assert serial.representatives == dev.representatives, bs
         assert serial.clusters == dev.clusters, bs
+
+
+def test_distributed_similarity_graph_matches_host(synthetic_genomes):
+    """Mesh-built Leiden graph == host graph (same edges, same f64
+    weights), and community_clusters(mesh=...) gives the same clusters."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rabbittclust_tpu.sketch.kssd import sketch_files_kssd
+    from rabbittclust_tpu.parallel.dist_engine import (
+        distributed_similarity_graph, make_mesh)
+    from rabbittclust_tpu.cluster.leiden import (
+        build_similarity_graph, community_clusters)
+    ss, p = sketch_files_kssd(synthetic_genomes.files[:16], min_len=1000,
+                              kmer_size=19, drlevel=2)
+    mesh = make_mesh(8)
+    df, dt, dw = distributed_similarity_graph(ss.hashes, 0.05, p.kmer_size,
+                                              mesh=mesh)
+    hf, ht, hw = build_similarity_graph(ss.hashes, 0.05, p.kmer_size)
+    dist_edges = sorted(zip(df.tolist(), dt.tolist(), dw.tolist()))
+    host_edges = sorted(zip(hf.tolist(), ht.tolist(), hw.tolist()))
+    assert dist_edges == host_edges  # exact f64 equality: same counts
+    c_mesh = community_clusters(ss.hashes, 0.05, p.kmer_size, mesh=mesh)
+    c_host = community_clusters(ss.hashes, 0.05, p.kmer_size)
+    assert c_mesh == c_host
+
+
+def test_distributed_threshold_clusters(synthetic_genomes):
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rabbittclust_tpu.sketch.kssd import sketch_files_kssd
+    from rabbittclust_tpu.parallel.dist_engine import (
+        distributed_threshold_clusters, make_mesh)
+    from rabbittclust_tpu.cluster.mst import (
+        clusters_from_forest, compute_mst, cut_forest)
+    ss, p = sketch_files_kssd(synthetic_genomes.files[:16], min_len=1000,
+                              kmer_size=19, drlevel=2)
+    mesh = make_mesh(8)
+    cd = distributed_threshold_clusters(ss.hashes, 0.05, p.kmer_size,
+                                        mesh=mesh)
+    res = compute_mst(ss.hashes, 0.05, p.kmer_size)
+    ch = clusters_from_forest(cut_forest(res.mst, 0.05), len(ss))
+    assert cd == ch
