@@ -56,7 +56,6 @@ def build_ring_fn(threshold: float, kmer_size: int, radio: int):
     (local candidate-edge count, local min distance, thresholded counts)."""
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
 
     def ring_fn(rows0, sizes, row_ids):
         """Executes per device under shard_map.
@@ -113,7 +112,6 @@ def distributed_candidate_stats(packed_plane0: np.ndarray,
     sharded path; exact edge extraction reuses the same tiles."""
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
     from ..distance.mash import size_ratio_limit
 
@@ -125,11 +123,11 @@ def distributed_candidate_stats(packed_plane0: np.ndarray,
     radio = size_ratio_limit(threshold, kmer_size - 1)
     ring_fn = build_ring_fn(threshold, kmer_size, radio)
 
-    fn = shard_map(
+    fn = jax.shard_map(
         ring_fn, mesh=mesh,
         in_specs=(P("data"), P("data"), P("data")),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     row_ids = np.arange(n, dtype=np.int32)
     total, min_d = jax.jit(fn)(
@@ -201,7 +199,6 @@ def distributed_candidate_edges(packed_plane0: np.ndarray,
     safe superset bound instead."""
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
     from ..distance.mash import size_ratio_limit
 
@@ -213,9 +210,9 @@ def distributed_candidate_edges(packed_plane0: np.ndarray,
     if radio is None:
         radio = size_ratio_limit(threshold, kmer_size - 1)
     ring_fn = build_ring_edges_fn(threshold, kmer_size, radio, cap)
-    fn = shard_map(ring_fn, mesh=mesh,
-                   in_specs=(P("data"), P("data"), P("data")),
-                   out_specs=P("data"), check_rep=False)
+    fn = jax.shard_map(ring_fn, mesh=mesh,
+                       in_specs=(P("data"), P("data"), P("data")),
+                       out_specs=P("data"), check_vma=False)
     row_ids = np.arange(n, dtype=np.int32)
     out = np.asarray(jax.jit(fn)(
         jnp.asarray(packed_plane0),

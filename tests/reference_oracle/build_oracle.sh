@@ -25,4 +25,12 @@ g++ $CXXFLAGS -D Timer -D GREEDY_CLUST -o "$OUT/clust-greedy" $SRCS \
 g++ $CXXFLAGS -D Timer -D DBSCAN_CLUST -o "$OUT/clust-dbscan" $SRCS \
     "$REF/src/dbscan.cpp" -lz -lgomp -lpthread
 
+# RabbitFX-enabled flavors (functional stub in rabbitfx/): unlock the
+# reference's KSSD by-sequence path (sketchSequencesWithKssd is only
+# compiled under RABBIT_FX, SketchInfo.cpp:563-640)
+FXFLAGS="$CXXFLAGS -I$HERE/rabbitfx -D RABBIT_FX"
+g++ $FXFLAGS -D Timer -o "$OUT/clust-mst-fx" $SRCS -lz -lgomp -lpthread
+g++ $FXFLAGS -D Timer -D GREEDY_CLUST -o "$OUT/clust-greedy-fx" $SRCS \
+    "$REF/src/greedy.cpp" -lz -lgomp -lpthread
+
 echo "oracle binaries in $OUT"

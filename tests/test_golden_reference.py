@@ -26,17 +26,22 @@ BUILD_SCRIPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 @pytest.fixture(scope="session")
 def oracle():
-    mst = os.path.join(ORACLE_DIR, "clust-mst")
-    greedy = os.path.join(ORACLE_DIR, "clust-greedy")
-    dbscan = os.path.join(ORACLE_DIR, "clust-dbscan")
-    if not all(os.path.exists(p) for p in (mst, greedy, dbscan)):
+    tools = {
+        "mst": os.path.join(ORACLE_DIR, "clust-mst"),
+        "greedy": os.path.join(ORACLE_DIR, "clust-greedy"),
+        "dbscan": os.path.join(ORACLE_DIR, "clust-dbscan"),
+        # RabbitFX-stub flavors: unlock the KSSD by-sequence path
+        "mst-fx": os.path.join(ORACLE_DIR, "clust-mst-fx"),
+        "greedy-fx": os.path.join(ORACLE_DIR, "clust-greedy-fx"),
+    }
+    if not all(os.path.exists(p) for p in tools.values()):
         if not os.path.exists("/root/reference/src/main.cpp"):
             pytest.skip("reference sources unavailable")
         r = subprocess.run(["bash", BUILD_SCRIPT], capture_output=True,
                            text=True)
         if r.returncode != 0:
             pytest.skip(f"oracle build failed: {r.stderr[-500:]}")
-    return {"mst": mst, "greedy": greedy, "dbscan": dbscan}
+    return tools
 
 
 @pytest.fixture(scope="module")
@@ -195,6 +200,39 @@ def test_by_sequence_mode_byte_identical(oracle, genomes, tmp_path):
                            "-d", "0.05", "-m", "1000", "-k", "21",
                            "-s", "300"], str(our_d))
     assert same_bytes(str(ref_d / "r.cluster"), str(our_d / "o.cluster"))
+
+
+def test_kssd_by_sequence_byte_identical(oracle, genomes, tmp_path):
+    """KSSD (--fast) by-sequence mode against the RabbitFX-stub oracle
+    (sketchSequencesWithKssd, SketchInfo.cpp:563-640, is only compiled under
+    RABBIT_FX; the stub in tests/reference_oracle/rabbitfx reconstructs the
+    chunk-reader API so the real consumer/sketching code runs).  Cluster
+    files, edge.mst, and kssd.info.sketch are byte-identical for both the
+    MST and greedy flavors.  kssd.hash.sketch differs by design: the
+    reference stores by-sequence hash arrays in hash-set iteration order
+    (SketchInfo.cpp:404-409, no sort), ours sorted — same sets."""
+    for tool, module, out in (("mst-fx", "clust_mst", "m"),
+                              ("greedy-fx", "clust_greedy", "g")):
+        ref_d = tmp_path / f"ref{out}"
+        our_d = tmp_path / f"our{out}"
+        ref_d.mkdir()
+        our_d.mkdir()
+        run_ref(oracle, tool, ["--fast", "-i", genomes.single_fasta,
+                               "-o", "r.cluster", "-d", "0.05",
+                               "-m", "1000"], str(ref_d))
+        time.sleep(1.1)
+        run_ours(module, ["--fast", "-i", genomes.single_fasta,
+                          "-o", "o.cluster", "-d", "0.05", "-m", "1000"],
+                 str(our_d))
+        assert same_bytes(str(ref_d / "r.cluster"),
+                          str(our_d / "o.cluster")), tool
+        rf = _run_folder(str(ref_d))
+        of = _run_folder(str(our_d))
+        assert same_bytes(os.path.join(rf, "kssd.info.sketch"),
+                          os.path.join(of, "kssd.info.sketch")), tool
+        if tool == "mst-fx":
+            assert same_bytes(os.path.join(rf, "edge.mst"),
+                              os.path.join(of, "edge.mst"))
 
 
 def test_minhash_greedy_byte_identical(oracle, genomes, tmp_path):
