@@ -140,20 +140,23 @@ def _jitted_filter():
                    static_argnames=("is_containment", "cap"))
 
 
-def candidate_pairs_threshold(
+def candidate_pair_blocks(
     hashes: List[np.ndarray],
     threshold: float,
     kmer_size: int,
     is_containment: bool = False,
     bits: int = 8192,
     row_block: int = 1024,
-    return_shared: bool = False,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """All pairs (i > j) that can possibly have distance <= threshold, with
-    exact common counts.  Returns (i, j, common) — every returned pair passed
-    the size-ratio filter and common >= 1; callers apply the distance.
-    With ``return_shared`` the third column is the (approximate) shared-bit
-    count instead and no exact verification is performed.
+):
+    """Streaming MXU candidate filter: yields (ii, jj) int64 arrays of
+    unverified candidate pairs (i > j) per complete row block.
+
+    Pipelined: the NEXT row block's device program is dispatched (JAX async
+    dispatch) BEFORE the current block's fused result is pulled, so device
+    filtering of block b+1 overlaps the caller's host work on block b
+    (exact verify / union-find).  On the tunnel-attached dev TPU this hides
+    most of the host verify time behind device compute; on local hardware
+    it hides the pull latency.
     """
     import jax.numpy as jnp
     from ..utils.jaxcfg import configure_jax
@@ -178,31 +181,60 @@ def candidate_pairs_threshold(
     # persistently afterwards)
     cur_cap = max(1 << 20, (min(row_block, n_pad) * n_pad) // 64)
 
-    cand_i: List[np.ndarray] = []
-    cand_j: List[np.ndarray] = []
-    for r0 in range(0, n_pad, row_block):
-        gi = min(row_block, n_pad - r0)
-        while True:
-            fused = np.asarray(filt(
-                xd[r0:r0 + gi], xd, cd[r0:r0 + gi], cd, sd[r0:r0 + gi], sd,
-                jnp.int32(r0), jnp.float32(j_min), jnp.float32(1.0 + j_min),
-                jnp.float32(c_min), jnp.int32(radio), is_containment,
-                cur_cap))
-            count = int(fused[0])
-            if count <= cur_cap:
-                break
+    def dispatch(r0, gi, cap):
+        return filt(
+            xd[r0:r0 + gi], xd, cd[r0:r0 + gi], cd, sd[r0:r0 + gi], sd,
+            jnp.int32(r0), jnp.float32(j_min), jnp.float32(1.0 + j_min),
+            jnp.float32(c_min), jnp.int32(radio), is_containment, cap)
+
+    blocks = [(r0, min(row_block, n_pad - r0))
+              for r0 in range(0, n_pad, row_block)]
+    pending = dispatch(*blocks[0], cur_cap) if blocks else None
+    for b, (r0, gi) in enumerate(blocks):
+        fut = pending
+        if b + 1 < len(blocks):  # prefetch before blocking on this block
+            pending = dispatch(*blocks[b + 1], cur_cap)
+        fused = np.asarray(fut)
+        count = int(fused[0])
+        while count > cur_cap:
             cur_cap *= 4  # rare: recompile with a larger compaction buffer
+            fused = np.asarray(dispatch(r0, gi, cur_cap))
+            count = int(fused[0])
         if count:
             idx = fused[1:1 + count].astype(np.int64)
-            cand_i.append(idx // n_pad + r0)
-            cand_j.append(idx % n_pad)
+            ii = idx // n_pad + r0
+            jj = idx % n_pad
+            keep = ii < n  # drop padded rows
+            yield ii[keep], jj[keep]
+
+
+def candidate_pairs_threshold(
+    hashes: List[np.ndarray],
+    threshold: float,
+    kmer_size: int,
+    is_containment: bool = False,
+    bits: int = 8192,
+    row_block: int = 1024,
+    return_shared: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All pairs (i > j) that can possibly have distance <= threshold, with
+    exact common counts.  Returns (i, j, common) — every returned pair passed
+    the size-ratio filter and common >= 1; callers apply the distance.
+    With ``return_shared`` the third column is the (approximate) shared-bit
+    count instead and no exact verification is performed.
+    """
+    cand_i: List[np.ndarray] = []
+    cand_j: List[np.ndarray] = []
+    for ii, jj in candidate_pair_blocks(
+            hashes, threshold, kmer_size, is_containment=is_containment,
+            bits=bits, row_block=row_block):
+        cand_i.append(ii)
+        cand_j.append(jj)
     if not cand_i:
         empty = np.empty(0, dtype=np.int64)
         return empty, empty.copy(), np.empty(0, dtype=np.int64)
     ii = np.concatenate(cand_i)
     jj = np.concatenate(cand_j)
-    keep = ii < n  # drop padded rows
-    ii, jj = ii[keep], jj[keep]
     if return_shared:
         # third column kept for API compatibility (candidate rank order)
         return ii, jj, np.zeros(len(ii), dtype=np.int64)

@@ -19,7 +19,7 @@ import numpy as np
 
 from ..cluster.union_find import UnionFind
 from ..distance.mash import aaf_distance, mash_distance
-from .bitmap import CsrSketches, candidate_pairs_threshold
+from .bitmap import CsrSketches, candidate_pair_blocks
 
 
 def threshold_clusters_device(
@@ -32,43 +32,28 @@ def threshold_clusters_device(
     verify_chunk: int = 65536,
 ) -> List[List[int]]:
     """Exact single-linkage clusters at ``threshold`` (BFS-ordered like the
-    reference MST cut; see cluster.mst.clusters_from_forest)."""
+    reference MST cut; see cluster.mst.clusters_from_forest).
+
+    Pipelined: candidate blocks stream from the device filter with one-block
+    prefetch (ops.bitmap.candidate_pair_blocks), so the host verifies block b
+    while the device filters block b+1 — device compute and host verify
+    overlap instead of running as two serial phases."""
     n = len(hashes)
     if n == 0:
         return []
-    ii, jj, _ = candidate_pairs_threshold(
-        hashes, threshold, kmer_size, is_containment=is_containment,
-        bits=bits, row_block=row_block, return_shared=True)
-    # candidates arrive in row-major order; union-find gating converges
-    # within a couple of chunks for clustered data regardless of ordering
     sizes = np.array([len(h) for h in hashes], dtype=np.int64)
 
     uf = UnionFind(n)
     kept_i: List[int] = []
     kept_j: List[int] = []
     kept_d: List[float] = []
-    csr = CsrSketches(hashes)  # built once, reused across verify chunks
-    for c0 in range(0, len(ii), verify_chunk):
-        ci = ii[c0:c0 + verify_chunk]
-        cj = jj[c0:c0 + verify_chunk]
-        # gate: skip pairs already connected (cannot change the partition);
-        # vectorized root lookup via full path compression
-        roots = uf.roots_array()
-        alive = roots[ci] != roots[cj]
-        ci, cj = ci[alive], cj[alive]
-        if len(ci) == 0:
-            continue
-        common = csr.count_common(ci, cj)
-        if is_containment:
-            d = aaf_distance(common, sizes[ci], sizes[cj], kmer_size)
-        else:
-            d = mash_distance(common, sizes[ci], sizes[cj], kmer_size)
-        ok = (common > 0) & (d <= threshold)
-        for a, b, dd in zip(ci[ok].tolist(), cj[ok].tolist(), d[ok].tolist()):
-            if uf.merge(a, b) is not None:
-                kept_i.append(a)
-                kept_j.append(b)
-                kept_d.append(dd)
+    csr = CsrSketches(hashes)  # built once, reused across verify rounds
+    for ii, jj in candidate_pair_blocks(
+            hashes, threshold, kmer_size, is_containment=is_containment,
+            bits=bits, row_block=row_block):
+        _gated_verify_block(uf, csr, sizes, ii, jj, threshold, kmer_size,
+                            is_containment, kept_i, kept_j, kept_d,
+                            verify_chunk)
     # components -> clusters in reference BFS order: build forest from kept
     # edges (they span every component) and BFS from lowest id
     from ..cluster.mst import clusters_from_forest, kruskal
@@ -76,3 +61,65 @@ def threshold_clusters_device(
                       np.asarray(kept_j, dtype=np.int64),
                       np.asarray(kept_d, dtype=np.float64)), n)
     return clusters_from_forest(forest, n)
+
+
+def _gated_verify_block(uf, csr, sizes, ii, jj, threshold, kmer_size,
+                        is_containment, kept_i, kept_j, kept_d,
+                        verify_chunk=65536, max_rounds=48):
+    """Round-structured exact verification of one candidate block.
+
+    Gating insight: a pair whose endpoints are already connected cannot
+    change the single-linkage partition — but with bulk verification the
+    gate barely fires, because candidates arrive row-major and row i's pairs
+    are all alive the first time i is seen.  Instead, verify in Borůvka-like
+    rounds: pick ONE candidate per live (root_i, root_j) component pair
+    (round 1 degenerates to one per row), verify that small batch exactly,
+    merge the passes, re-gate.  A row whose first candidate is a true edge
+    joins its component immediately and its remaining pairs die in the next
+    gate — verifications drop from O(#candidates) to roughly
+    O(N + #failed candidates) while the partition stays exactly the
+    single-linkage one (every cross-component candidate is either verified
+    or gated by an already-verified connection).  After ``max_rounds`` the
+    remainder falls back to bulk chunked verification, bounding the
+    worst-case (adversarially failing candidates) at the old cost."""
+    pi, pj = ii, jj
+    rounds = 0
+    while len(pi):
+        roots = uf.roots_array()
+        ri = roots[pi]
+        rj = roots[pj]
+        alive = ri != rj
+        pi, pj, ri, rj = pi[alive], pj[alive], ri[alive], rj[alive]
+        if len(pi) == 0:
+            break
+        rounds += 1
+        if rounds == 1:
+            # bootstrap: roots are mostly fresh, so root-pair dedup would
+            # degenerate to "verify everything"; one candidate per row
+            # connects most rows to their component in a single batch
+            _, sel = np.unique(pi, return_index=True)
+        elif rounds <= max_rounds:
+            # first occurrence per unordered live root pair
+            lo = np.minimum(ri, rj)
+            hi = np.maximum(ri, rj)
+            key = lo * np.int64(len(uf.parent) + 1) + hi
+            _, sel = np.unique(key, return_index=True)
+        else:  # fallback: bulk-verify a chunk (degenerate candidate sets)
+            sel = np.arange(min(len(pi), verify_chunk))
+        ci, cj = pi[sel], pj[sel]
+        common = csr.count_common(ci, cj)
+        if is_containment:
+            d = aaf_distance(common, sizes[ci], sizes[cj], kmer_size)
+        else:
+            d = mash_distance(common, sizes[ci], sizes[cj], kmer_size)
+        ok = (common > 0) & (d <= threshold)
+        for a, b, dd in zip(ci[ok].tolist(), cj[ok].tolist(),
+                            d[ok].tolist()):
+            if not uf.connected(a, b):
+                uf.merge(a, b)
+                kept_i.append(a)
+                kept_j.append(b)
+                kept_d.append(dd)
+        keep = np.ones(len(pi), dtype=bool)
+        keep[sel] = False  # verified pairs (pass or fail) leave the pool
+        pi, pj = pi[keep], pj[keep]
