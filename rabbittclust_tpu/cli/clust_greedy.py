@@ -16,6 +16,12 @@ def main(argv=None) -> int:
     is_containment = args.contain_compress is not None
     module = "greedy"
 
+    if args.sketch_func in ("WMH", "HLL", "OMH"):
+        # reference greedy explicitly rejects these (greedy.cpp:313-317)
+        print("can only support MinHash and KSSD with greedy incremental "
+              "clust", file=sys.stderr)
+        return 1
+
     if args.repdb_path:
         from .repdb import run_greedy_repdb
         return run_greedy_repdb(args, opts)

@@ -16,6 +16,24 @@ def main(argv=None) -> int:
     is_containment = args.contain_compress is not None
     module = "mst"
 
+    if args.sketch_func in ("WMH", "HLL", "OMH"):
+        # extra sketch types: dense all-pairs modifyMST path (latent in the
+        # reference); only fresh genome input is supported
+        if args.is_fast or args.repdb_path or args.presketched \
+                or args.premsted or args.append:
+            print("ERROR: --sketch-func WMH/HLL/OMH supports fresh genome "
+                  "input only (no --fast/--db/--presketched/--premsted/"
+                  "--append)", file=sys.stderr)
+            return 1
+        if not args.input:
+            print("ERROR: -i/--input needed", file=sys.stderr)
+            return 1
+        from ..workflows_extra import clust_from_genomes_extra
+        clust_from_genomes_extra(
+            args.input, args.output, args.sketch_by_file, args.sketch_func,
+            args.kmer_size or 21, args.threshold, args.min_len, opts)
+        return 0
+
     if args.repdb_path:
         from .repdb import run_mst_repdb
         return run_mst_repdb(args, opts)

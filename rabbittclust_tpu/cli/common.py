@@ -48,6 +48,12 @@ def base_parser(module: str) -> argparse.ArgumentParser:
                         "distance, default 1000")
     p.add_argument("-l", "--list", dest="sketch_by_file", action="store_true",
                    help="input is genome list, one genome per line")
+    p.add_argument("--sketch-func", dest="sketch_func", default="MinHash",
+                   choices=["MinHash", "WMH", "HLL", "OMH"],
+                   help="sketch function (default MinHash; --fast selects "
+                        "KSSD). WMH/HLL/OMH run the dense all-pairs path "
+                        "(latent in the reference: its CLI hard-wires "
+                        "MinHash, main.cpp:73; clust-mst only)")
     p.add_argument("-e", "--no-save", dest="no_save", action="store_true",
                    help="not save the intermediate files, such as sketches "
                         "or MST")
@@ -181,6 +187,11 @@ def validate_common(args, module: str) -> None:
         args.threshold = 0.05
         print(f"-----use default threshold: {args.threshold}",
               file=sys.stderr)
+    if getattr(args, "sketch_func", "MinHash") != "MinHash" \
+            and module in ("leiden", "dbscan"):
+        print(f"ERROR: clust-{module} supports KSSD (--fast) sketches only",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 def make_output_options(args, module: str):

@@ -42,9 +42,28 @@ class WMinHashSketch:
     y: np.ndarray     # (S,) quantized y values (discretized log weight)
 
 
+def _multi_hashes(seqs, k: int) -> np.ndarray:
+    """Canonical k-mer hashes over a list of sequences, per-sequence (k-mers
+    never span sequence boundaries — matches the reference's per-sequence
+    ->update() accumulation in by-file mode, SketchInfo.cpp:896-938)."""
+    parts = [murmur3_batch_canonical(s, k) for s in seqs]
+    return (np.concatenate(parts) if parts
+            else np.empty(0, dtype=np.uint64))
+
+
 def _kmer_histogram(seq: bytes, k: int) -> Tuple[np.ndarray, np.ndarray]:
     h = murmur3_batch_canonical(seq, k)
     return np.unique(h, return_counts=True)
+
+
+def wminhash_sketch_multi(seqs, k: int = 21,
+                          sketch_size: int = WMH_SKETCH_SIZE,
+                          seed: int = 42) -> "WMinHashSketch":
+    """ICWS weighted MinHash over the pooled k-mer histogram of a multi-
+    sequence genome."""
+    h = _multi_hashes(seqs, k)
+    feats, weights = np.unique(h, return_counts=True)
+    return _wminhash_from_histogram(feats, weights, sketch_size, seed)
 
 
 def wminhash_sketch(seq: bytes, k: int = 21,
@@ -52,6 +71,11 @@ def wminhash_sketch(seq: bytes, k: int = 21,
                     seed: int = 42) -> WMinHashSketch:
     """ICWS weighted MinHash of the k-mer count histogram."""
     feats, weights = _kmer_histogram(seq, k)
+    return _wminhash_from_histogram(feats, weights, sketch_size, seed)
+
+
+def _wminhash_from_histogram(feats: np.ndarray, weights: np.ndarray,
+                             sketch_size: int, seed: int) -> WMinHashSketch:
     if len(feats) == 0:
         return WMinHashSketch(np.zeros(sketch_size, np.uint64),
                               np.zeros(sketch_size, np.int64))

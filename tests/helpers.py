@@ -86,3 +86,19 @@ def same_partition(labels_a, labels_b) -> bool:
     for i, l in enumerate(labels_b):
         gb[l].add(i)
     return set(map(frozenset, ga.values())) == set(map(frozenset, gb.values()))
+
+
+def parse_cluster_file(path: str):
+    """Parse a .cluster text file into [[global_id, ...], ...]."""
+    clusters, cur = [], None
+    with open(path) as f:
+        for line in f:
+            if line.startswith("the cluster"):
+                if cur is not None:
+                    clusters.append(cur)
+                cur = []
+            elif line.startswith("\t") and cur is not None:
+                cur.append(int(line.split("\t")[2]))
+    if cur is not None:
+        clusters.append(cur)
+    return clusters
