@@ -61,12 +61,21 @@ def compute_mst_device(
 
     n_pad = packed.n
     first_row = (start_index // row_tile) * row_tile
-    for i0 in range(first_row, n_pad, row_tile):
+    row_starts = list(range(first_row, n_pad, row_tile))
+
+    def dispatch(i0):
         gi = min(row_tile, n_pad - i0)
-        block = packed.row_block(i0, gi)
-        counts = np.asarray(pair_counts_row(block, packed,
-                                            gj_tile=col_tile,
-                                            backend=backend))
+        return pair_counts_row(packed.row_block(i0, gi), packed,
+                               gj_tile=col_tile, backend=backend)
+
+    # one-tile async prefetch: the device computes tile t+1 while the host
+    # extracts edges / runs the streaming Kruskal for tile t
+    pending = dispatch(row_starts[0]) if row_starts else None
+    for t, i0 in enumerate(row_starts):
+        fut = pending
+        if t + 1 < len(row_starts):
+            pending = dispatch(row_starts[t + 1])
+        counts = np.asarray(fut)
         # host-side edge extraction for this row block
         # pair (i, j) kept once with i > j; append mode keeps only i >= start
         ii_local, jj = np.nonzero(counts)
