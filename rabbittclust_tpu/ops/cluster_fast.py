@@ -48,12 +48,14 @@ def threshold_clusters_device(
     kept_j: List[int] = []
     kept_d: List[float] = []
     csr = CsrSketches(hashes)  # built once, reused across verify rounds
-    for ii, jj in candidate_pair_blocks(
-            hashes, threshold, kmer_size, is_containment=is_containment,
-            bits=bits, row_block=row_block):
-        _gated_verify_block(uf, csr, sizes, ii, jj, threshold, kmer_size,
-                            is_containment, kept_i, kept_j, kept_d,
-                            verify_chunk)
+    from ..utils.profiling import maybe_trace
+    with maybe_trace("bitmap_filter_cluster"):
+        for ii, jj in candidate_pair_blocks(
+                hashes, threshold, kmer_size, is_containment=is_containment,
+                bits=bits, row_block=row_block):
+            _gated_verify_block(uf, csr, sizes, ii, jj, threshold, kmer_size,
+                                is_containment, kept_i, kept_j, kept_d,
+                                verify_chunk)
     # components -> clusters in reference BFS order: build forest from kept
     # edges (they span every component) and BFS from lowest id
     from ..cluster.mst import clusters_from_forest, kruskal

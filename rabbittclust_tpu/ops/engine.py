@@ -68,47 +68,49 @@ def compute_mst_device(
         return pair_counts_row(packed.row_block(i0, gi), packed,
                                gj_tile=col_tile, backend=backend)
 
-    # one-tile async prefetch: the device computes tile t+1 while the host
-    # extracts edges / runs the streaming Kruskal for tile t
-    pending = dispatch(row_starts[0]) if row_starts else None
-    for t, i0 in enumerate(row_starts):
-        fut = pending
-        if t + 1 < len(row_starts):
-            pending = dispatch(row_starts[t + 1])
-        counts = np.asarray(fut)
-        # host-side edge extraction for this row block
-        # pair (i, j) kept once with i > j; append mode keeps only i >= start
-        ii_local, jj = np.nonzero(counts)
-        ii = ii_local + i0
-        keep = (jj < ii) & (ii < n) & (ii >= start_index)
-        ii, jj = ii[keep], jj[keep]
-        if len(ii) == 0:
-            continue
-        common = counts[ii - i0, jj].astype(np.int64)
-        s0 = sizes[ii]
-        s1 = sizes[jj]
-        mn = np.minimum(s0, s1)
-        mx = np.maximum(s0, s1)
-        ok = (mn > 0) & (mx <= radio * mn)
-        ii, jj, common, s0, s1 = ii[ok], jj[ok], common[ok], s0[ok], s1[ok]
-        if len(ii) == 0:
-            continue
-        if is_containment:
-            d = aaf_distance(common, s0, s1, kmer_size)
-        else:
-            d = mash_distance(common, s0, s1, kmer_size)
-        if with_dense:
-            t0 = np.searchsorted(radii, d, side="left")
-            inb = t0 < DENSE_SPAN
-            np.add.at(dense, (t0[inb], ii[inb]), 1)
-            np.add.at(dense, (t0[inb], jj[inb]), 1)
-            a = np.minimum(((1.0 - d) * 100.0).astype(np.int64), 100)
-            np.add.at(ani, a, 1)
-        partial.append((ii.astype(np.int64), jj.astype(np.int64), d))
-        budget += len(ii)
-        if budget > 4 * n:
-            partial = [kruskal(concat_edges(partial), n)]
-            budget = len(partial[0][0])
+    from ..utils.profiling import maybe_trace
+    with maybe_trace("dense_mst_device"):
+        # one-tile async prefetch: the device computes tile t+1 while the
+        # host extracts edges / runs the streaming Kruskal for tile t
+        pending = dispatch(row_starts[0]) if row_starts else None
+        for t, i0 in enumerate(row_starts):
+            fut = pending
+            if t + 1 < len(row_starts):
+                pending = dispatch(row_starts[t + 1])
+            counts = np.asarray(fut)
+            # host-side edge extraction for this row block
+            # pair (i, j) kept once with i > j; append mode keeps only i >= start
+            ii_local, jj = np.nonzero(counts)
+            ii = ii_local + i0
+            keep = (jj < ii) & (ii < n) & (ii >= start_index)
+            ii, jj = ii[keep], jj[keep]
+            if len(ii) == 0:
+                continue
+            common = counts[ii - i0, jj].astype(np.int64)
+            s0 = sizes[ii]
+            s1 = sizes[jj]
+            mn = np.minimum(s0, s1)
+            mx = np.maximum(s0, s1)
+            ok = (mn > 0) & (mx <= radio * mn)
+            ii, jj, common, s0, s1 = ii[ok], jj[ok], common[ok], s0[ok], s1[ok]
+            if len(ii) == 0:
+                continue
+            if is_containment:
+                d = aaf_distance(common, s0, s1, kmer_size)
+            else:
+                d = mash_distance(common, s0, s1, kmer_size)
+            if with_dense:
+                t0 = np.searchsorted(radii, d, side="left")
+                inb = t0 < DENSE_SPAN
+                np.add.at(dense, (t0[inb], ii[inb]), 1)
+                np.add.at(dense, (t0[inb], jj[inb]), 1)
+                a = np.minimum(((1.0 - d) * 100.0).astype(np.int64), 100)
+                np.add.at(ani, a, 1)
+            partial.append((ii.astype(np.int64), jj.astype(np.int64), d))
+            budget += len(ii)
+            if budget > 4 * n:
+                partial = [kruskal(concat_edges(partial), n)]
+                budget = len(partial[0][0])
 
     mst = kruskal(concat_edges(partial), n)
     if with_dense:
