@@ -141,6 +141,22 @@ def test_dbscan_device_path_matches_host(sketched, synthetic_genomes):
     assert host.noise == dev.noise
 
 
+def test_leiden_device_graph_matches_host(sketched):
+    """build_similarity_graph(use_device=True) — MXU bitmap candidate
+    generation — yields the identical edge set and f64 weights as the
+    host inverted-index path."""
+    from rabbittclust_tpu.cluster.leiden import build_similarity_graph
+    ss, p = sketched
+    hf, ht, hw = build_similarity_graph(ss.hashes, 0.05, p.kmer_size)
+    df, dt, dw = build_similarity_graph(ss.hashes, 0.05, p.kmer_size,
+                                        use_device=True)
+    ho = np.lexsort((ht, hf))
+    do = np.lexsort((dt, df))
+    assert np.array_equal(hf[ho], df[do])
+    assert np.array_equal(ht[ho], dt[do])
+    assert np.array_equal(hw[ho], dw[do])
+
+
 def test_edge_parallel_warm_start(sketched, synthetic_genomes):
     from rabbittclust_tpu.cluster.leiden import (
         build_similarity_graph, louvain_edge_parallel)
