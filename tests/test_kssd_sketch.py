@@ -119,3 +119,53 @@ def test_min_len_filter(synthetic_genomes):
     ss, _ = sketch_files_kssd(synthetic_genomes.files, min_len=10**9,
                               kmer_size=19, drlevel=2)
     assert len(ss) == 0
+
+
+def test_gz_genome_equals_plain(tmp_path):
+    """A gzip-compressed genome sketches identically to its plain twin, in
+    both the native ingest and the Python fallback (reference: kseq over
+    gzFile handles .gz transparently, SketchInfo.cpp kseq paths)."""
+    import gzip
+    import random
+    from tests.helpers import rand_seq, write_fasta
+    from rabbittclust_tpu.sketch.kssd import sketch_files_kssd
+    from rabbittclust_tpu.sketch.minhash import (
+        MinHashParams, sketch_files_minhash)
+
+    rng = random.Random(17)
+    seq = rand_seq(rng, 30000)
+    plain = tmp_path / "g.fna"
+    write_fasta(str(plain), "g", "c", seq)
+    gz = tmp_path / "g.fna.gz"
+    with open(plain, "rb") as f, gzip.open(gz, "wb") as z:
+        z.write(f.read())
+
+    ss_a, _ = sketch_files_kssd([str(plain)], 10000, 21, 3)
+    ss_b, _ = sketch_files_kssd([str(gz)], 10000, 21, 3)
+    assert np.array_equal(ss_a.hashes[0], ss_b.hashes[0])
+    assert ss_a.total_lens == ss_b.total_lens
+
+    mp = MinHashParams(kmer_size=21, sketch_size=300)
+    mh_a = sketch_files_minhash([str(plain)], 10000, mp)
+    mh_b = sketch_files_minhash([str(gz)], 10000, mp)
+    assert np.array_equal(mh_a.hashes[0], mh_b.hashes[0])
+
+
+def test_gz_prescan_isize(tmp_path):
+    """calSize's gz ISIZE trick: by-file prescan reads the uncompressed
+    size from the gzip trailer (reference SketchInfo.cpp:456-464)."""
+    import gzip
+    import random
+    from tests.helpers import rand_seq, write_fasta
+    from rabbittclust_tpu.io.prescan import cal_size
+
+    rng = random.Random(18)
+    write_fasta(str(tmp_path / "a.fna"), "a", "c", rand_seq(rng, 25000))
+    payload = b">b c\n" + rand_seq(rng, 30000).encode() + b"\n"
+    with gzip.open(tmp_path / "b.fna.gz", "wb") as z:
+        z.write(payload)
+    lst = tmp_path / "l.txt"
+    lst.write_text(f"{tmp_path}/a.fna\n{tmp_path}/b.fna.gz\n")
+    max_size, min_size, avg = cal_size(True, str(lst), 1, 10000)
+    # gz entry contributes its UNCOMPRESSED byte size via the ISIZE field
+    assert max_size == len(payload)
