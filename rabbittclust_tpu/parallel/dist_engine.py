@@ -137,7 +137,7 @@ def distributed_candidate_stats(packed_plane0: np.ndarray,
 
 
 def build_ring_edges_fn(threshold: float, kmer_size: int, radio: int,
-                        cap: int):
+                        cap: int, two_plane: bool = False):
     """shard_map-able ring that EXTRACTS candidate edges exactly.
 
     Each device emits, per ring step, a fused int32 block
@@ -145,16 +145,20 @@ def build_ring_edges_fn(threshold: float, kmer_size: int, radio: int,
     pairs (global_i > global_j) passing the candidate + size-ratio filters.
     Counts are exact (bucket-packed compare), so the host computes float64
     distances from them directly and merges per-shard partial MSTs.
-    """
+    ``two_plane`` handles 64-bit KSSD hashes (plane0/plane1 both rotate
+    around the ring)."""
     import jax
     import jax.numpy as jnp
 
-    def ring_fn(rows0, sizes, row_ids):
+    def ring_fn(rows0, rows1, sizes, row_ids):
         n_dev = jax.lax.axis_size("data")
 
         def step(carry, _):
-            visiting0, vis_sizes, vis_ids = carry
-            counts = _counts_block(rows0, visiting0)
+            visiting0, visiting1, vis_sizes, vis_ids = carry
+            if two_plane:
+                counts = _counts_block(rows0, visiting0, rows1, visiting1)
+            else:
+                counts = _counts_block(rows0, visiting0)
             s0 = sizes[:, None]
             s1 = vis_sizes[None, :]
             mn = jnp.minimum(s0, s1)
@@ -173,13 +177,15 @@ def build_ring_edges_fn(threshold: float, kmer_size: int, radio: int,
                 jnp.take(counts.reshape(-1), jnp.maximum(flat, 0)), 0)
             perm = [(k, (k + 1) % n_dev) for k in range(n_dev)]
             visiting0 = jax.lax.ppermute(visiting0, "data", perm)
+            if two_plane:
+                visiting1 = jax.lax.ppermute(visiting1, "data", perm)
             vis_sizes = jax.lax.ppermute(vis_sizes, "data", perm)
             vis_ids = jax.lax.ppermute(vis_ids, "data", perm)
             fused = jnp.concatenate(
                 [cnt[None], gid_i, gid_j, common.astype(jnp.int32)])
-            return (visiting0, vis_sizes, vis_ids), fused
+            return (visiting0, visiting1, vis_sizes, vis_ids), fused
 
-        init = (rows0, sizes, row_ids)
+        init = (rows0, rows1, sizes, row_ids)
         _, out = jax.lax.scan(step, init, None, length=n_dev)
         return out  # (n_dev_steps, 1 + 3*cap)
 
@@ -189,14 +195,16 @@ def build_ring_edges_fn(threshold: float, kmer_size: int, radio: int,
 def distributed_candidate_edges(packed_plane0: np.ndarray,
                                 sizes: np.ndarray, threshold: float,
                                 kmer_size: int, mesh=None, cap: int = 4096,
-                                radio: Optional[int] = None):
+                                radio: Optional[int] = None,
+                                packed_plane1: Optional[np.ndarray] = None):
     """Exact candidate edges (i, j, common) across the mesh, every pair
     covered exactly once (pair ownership: global_i > global_j).
 
     ``radio`` overrides the size-ratio prefilter; default is the reference's
     int-truncated MST prefilter (size_ratio_limit with k-1).  Callers whose
     downstream filter differs (e.g. the Leiden graph's ratio >= 0.5) pass a
-    safe superset bound instead."""
+    safe superset bound instead.  ``packed_plane1`` enables 64-bit KSSD
+    hashes (two uint32 planes per slot)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -209,13 +217,17 @@ def distributed_candidate_edges(packed_plane0: np.ndarray,
     assert n % n_dev == 0, (n, n_dev)
     if radio is None:
         radio = size_ratio_limit(threshold, kmer_size - 1)
-    ring_fn = build_ring_edges_fn(threshold, kmer_size, radio, cap)
+    two = packed_plane1 is not None
+    ring_fn = build_ring_edges_fn(threshold, kmer_size, radio, cap,
+                                  two_plane=two)
     fn = jax.shard_map(ring_fn, mesh=mesh,
-                       in_specs=(P("data"), P("data"), P("data")),
+                       in_specs=(P("data"), P("data"), P("data"), P("data")),
                        out_specs=P("data"), check_vma=False)
     row_ids = np.arange(n, dtype=np.int32)
+    plane1 = packed_plane1 if two else packed_plane0[:, :1, :1]
     out = np.asarray(jax.jit(fn)(
         jnp.asarray(packed_plane0),
+        jnp.asarray(plane1),
         jnp.asarray(sizes.astype(np.int32)),
         jnp.asarray(row_ids)))
     # out: (n_dev * n_steps, 1 + 3*cap); decode every block
@@ -252,15 +264,15 @@ def distributed_mst(hashes, threshold: float, kmer_size: int,
     use64 = n > 0 and hashes[0].dtype == np.uint64
     pad = ((n + n_dev - 1) // n_dev) * n_dev
     packed = pack_sketches(hashes, use64, pad_n_to=max(pad, n_dev))
-    if packed.plane1 is not None:
-        raise NotImplementedError(
-            "distributed MST currently supports 32-bit KSSD hashes")
     np_pad = packed.plane0.shape[0]
     # re-pad rows to exactly pad (pack may round further; slice)
     plane0 = packed.plane0[:pad] if np_pad >= pad else packed.plane0
+    plane1 = (None if packed.plane1 is None
+              else packed.plane1[:plane0.shape[0]])
     sizes = packed.sizes[:plane0.shape[0]]
     ii, jj, common = distributed_candidate_edges(
-        plane0, sizes, threshold, kmer_size, mesh=mesh, cap=cap)
+        plane0, sizes, threshold, kmer_size, mesh=mesh, cap=cap,
+        packed_plane1=plane1)
     keep = (ii < n) & (jj < n)
     ii, jj, common = ii[keep], jj[keep], common[keep]
     s = np.array([len(h) for h in hashes], dtype=np.int64)
@@ -273,20 +285,20 @@ def distributed_mst(hashes, threshold: float, kmer_size: int,
 
 
 def _pack_rows_for_mesh(hashes, mesh):
-    """Bucket-pack 32-bit sketches with rows padded to a mesh multiple."""
+    """Bucket-pack sketches (32- or 64-bit) with rows padded to a mesh
+    multiple; returns (plane0, plane1-or-None, sizes)."""
     from ..ops.pack import pack_sketches
 
     n_dev = int(mesh.devices.size)
     n = len(hashes)
     use64 = n > 0 and hashes[0].dtype == np.uint64
-    if use64:
-        raise NotImplementedError(
-            "distributed engines currently support 32-bit KSSD hashes")
     pad = ((n + n_dev - 1) // n_dev) * n_dev
     packed = pack_sketches(hashes, use64, pad_n_to=max(pad, n_dev))
     plane0 = packed.plane0[:pad] if packed.plane0.shape[0] >= pad \
         else packed.plane0
-    return plane0, packed.sizes[:plane0.shape[0]]
+    plane1 = (None if packed.plane1 is None
+              else packed.plane1[:plane0.shape[0]])
+    return plane0, plane1, packed.sizes[:plane0.shape[0]]
 
 
 def distributed_similarity_graph(hashes, threshold: float, kmer_size: int,
@@ -304,14 +316,14 @@ def distributed_similarity_graph(hashes, threshold: float, kmer_size: int,
     if mesh is None:
         mesh = make_mesh()
     n = len(hashes)
-    plane0, sizes = _pack_rows_for_mesh(hashes, mesh)
+    plane0, plane1, sizes = _pack_rows_for_mesh(hashes, mesh)
     # superset of both the Mash bound max <= min * (2e^{dk}-1) and the
     # Leiden ratio >= 0.5 window
     radio_safe = max(2, int(math.ceil(2.0 * math.exp(
         threshold * kmer_size))) + 1)
     ii, jj, common = distributed_candidate_edges(
         plane0, sizes, threshold, kmer_size, mesh=mesh, cap=cap,
-        radio=radio_safe)
+        radio=radio_safe, packed_plane1=plane1)
     keep = (ii < n) & (jj < n)
     ii, jj, common = ii[keep], jj[keep], common[keep]
     s = np.array([len(h) for h in hashes], dtype=np.int64)

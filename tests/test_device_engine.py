@@ -201,6 +201,30 @@ def test_distributed_mst_exact(synthetic_genomes):
     assert cd == ch
 
 
+def test_distributed_mst_exact_64bit(synthetic_genomes):
+    """Distributed ring with 64-bit KSSD hashes (k=23 -> use64: both uint32
+    planes rotate) == host MST."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rabbittclust_tpu.sketch.kssd import sketch_files_kssd
+    from rabbittclust_tpu.parallel.dist_engine import (
+        distributed_mst, make_mesh)
+    from rabbittclust_tpu.cluster.mst import (
+        compute_mst, cut_forest, clusters_from_forest)
+    ss, p = sketch_files_kssd(synthetic_genomes.files[:16], min_len=1000,
+                              kmer_size=23, drlevel=3)
+    assert ss.hashes[0].dtype == np.uint64  # use64 path
+    res_d = distributed_mst(ss.hashes, 0.05, p.kmer_size, mesh=make_mesh(8))
+    res_h = compute_mst(ss.hashes, 0.05, p.kmer_size)
+    ed = sorted((min(a, b), max(a, b)) for a, b in zip(*res_d.mst[:2]))
+    eh = sorted((min(a, b), max(a, b)) for a, b in zip(*res_h.mst[:2]))
+    assert ed == eh
+    cd = clusters_from_forest(cut_forest(res_d.mst, 0.05), 16)
+    ch = clusters_from_forest(cut_forest(res_h.mst, 0.05), 16)
+    assert cd == ch
+
+
 def test_greedy_device_matches_host_batched():
     """Device greedy (bitmap matmul candidates) == host batched greedy,
     bit-exactly, for both mash and containment modes."""
