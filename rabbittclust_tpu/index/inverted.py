@@ -14,7 +14,7 @@ src/SketchInfo.h:59-161, and the CSR files kssd.sketch.{index,dict}):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

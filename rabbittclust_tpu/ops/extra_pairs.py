@@ -17,7 +17,6 @@ exact, so device and host paths agree bit-for-bit.
 from __future__ import annotations
 
 import functools
-import math
 from typing import List
 
 import numpy as np

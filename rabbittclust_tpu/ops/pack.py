@@ -27,7 +27,7 @@ W is the max bucket occupancy over the dataset (rounded up to a multiple of
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

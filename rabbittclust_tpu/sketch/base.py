@@ -8,7 +8,7 @@ vector<SketchInfo>, src/SketchInfo.h:23-56).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, List, Optional
+from typing import Any, List
 
 import numpy as np
 
