@@ -22,6 +22,7 @@
 #include <string>
 #include <vector>
 #include <algorithm>
+#include <unordered_map>
 #include <zlib.h>
 #include <omp.h>
 
@@ -1123,6 +1124,200 @@ void rtc_scan_lengths(const char** files, int64_t nfiles, int64_t* out_len,
     }
     out_len[i] = total;
   }
+}
+
+}  // extern "C"
+
+// ---- native greedy engine ---------------------------------------------------
+// Serial inverted-index greedy clustering (behavioral spec: reference
+// src/greedy.cpp:566-899 / our golden-tested cluster/greedy.py; written
+// fresh).  Input sketches must already be size-descending sorted (ties by
+// id) — the caller passes the sorted CSR view.  Semantics replicated
+// exactly: first-touch candidate order (hashes walked in sketch order,
+// posting lists in insertion order), strict max-similarity with
+// first-touch tie win, common-bound filters (ceil in f64), monotonic
+// pruning with int-truncated max_acceptable.  Output: best_rep[j] = chosen
+// representative's (sorted) index, or -1 if genome j became a new
+// representative.
+
+namespace {
+
+// Open-addressing hash -> posting-list table (linear probing, power-of-2
+// capacity).  The probe loop is the greedy hot path; std::unordered_map's
+// pointer chasing costs ~2.5x here, this table is one cache miss per
+// lookup (the reference vendors phmap Swiss tables for the same reason).
+template <typename HashT>
+struct RepPostings {
+  std::vector<HashT> keys;
+  std::vector<int32_t> slot;  // -1 empty, else index into lists
+  std::vector<std::vector<int32_t>> lists;
+  size_t mask = 63, used = 0;
+
+  RepPostings() { clear(64); }
+  void clear(size_t cap) {
+    size_t c = 64;
+    while (c < cap * 2) c <<= 1;
+    keys.assign(c, 0);
+    slot.assign(c, -1);
+    mask = c - 1;
+    used = 0;
+  }
+  static inline size_t mix(uint32_t h) {
+    return (size_t)(h * 2654435761u);
+  }
+  static inline size_t mix(uint64_t h) {
+    return (size_t)(h * 0x9E3779B97F4A7C15ULL >> 16);
+  }
+  inline size_t find_slot(HashT h) const {
+    size_t i = mix(h) & mask;
+    while (slot[i] != -1 && keys[i] != h) i = (i + 1) & mask;
+    return i;
+  }
+  inline const std::vector<int32_t>* find(HashT h) const {
+    size_t i = find_slot(h);
+    return slot[i] == -1 ? nullptr : &lists[(size_t)slot[i]];
+  }
+  void grow() {
+    std::vector<HashT> ok;
+    std::vector<int32_t> os;
+    ok.swap(keys);
+    os.swap(slot);
+    keys.assign((ok.size() << 1), 0);
+    slot.assign((os.size() << 1), -1);
+    mask = keys.size() - 1;
+    for (size_t i = 0; i < ok.size(); ++i) {
+      if (os[i] == -1) continue;
+      size_t t = mix(ok[i]) & mask;
+      while (slot[t] != -1) t = (t + 1) & mask;
+      keys[t] = ok[i];
+      slot[t] = os[i];
+    }
+  }
+  inline std::vector<int32_t>& get_or_create(HashT h) {
+    if ((used + 1) * 10 > (mask + 1) * 7) grow();
+    size_t i = find_slot(h);
+    if (slot[i] == -1) {
+      keys[i] = h;
+      slot[i] = (int32_t)lists.size();
+      lists.emplace_back();
+      ++used;
+    }
+    return lists[(size_t)slot[i]];
+  }
+};
+
+template <typename HashT>
+void greedy_engine(const HashT* flat, const int64_t* offs, int64_t n,
+                   double j_min, double c_min, bool containment,
+                   int64_t prune_interval, int32_t* best_out) {
+  if (n <= 0) return;
+  best_out[0] = -1;
+  RepPostings<HashT> index;
+  index.clear((size_t)std::min<int64_t>(
+      std::max<int64_t>(offs[n] / 50, 1 << 16), int64_t(1) << 24));
+  std::vector<char> is_rep((size_t)n, 0);
+
+  auto add_rep = [&](int64_t g) {
+    is_rep[(size_t)g] = 1;
+    for (int64_t p = offs[g]; p < offs[g + 1]; ++p)
+      index.get_or_create(flat[p]).push_back((int32_t)g);
+  };
+  add_rep(0);
+
+  std::vector<int32_t> inter((size_t)n, 0);
+  std::vector<int32_t> stamp((size_t)n, 0);
+  int32_t epoch = 0;
+  std::vector<int32_t> touched;
+  touched.reserve(4096);
+  int64_t min_seen = int64_t(1) << 62;
+
+  for (int64_t j = 1; j < n; ++j) {
+    const int64_t size_ref = offs[j + 1] - offs[j];
+    if (j >= prune_interval && j % prune_interval == 0) {
+      // monotonic prune (cluster/greedy.py prune_too_large_monotonic)
+      min_seen = std::min(min_seen, size_ref);
+      const int64_t max_acceptable =
+          (int64_t)((double)min_seen / (j_min * 0.8));
+      bool any = false;
+      for (int64_t g = 0; g < j && !any; ++g)
+        any = is_rep[(size_t)g] && (offs[g + 1] - offs[g]) > max_acceptable;
+      if (any) {
+        for (int64_t g = 0; g < j; ++g)
+          if (is_rep[(size_t)g] && (offs[g + 1] - offs[g]) > max_acceptable)
+            is_rep[(size_t)g] = 0;
+        for (auto& lst : index.lists) {  // emptied lists keep their slot
+          size_t keep = 0;
+          for (size_t k = 0; k < lst.size(); ++k)
+            if (is_rep[(size_t)lst[k]]) lst[keep++] = lst[k];
+          lst.resize(keep);
+        }
+      }
+    }
+
+    // probe: first-touch order
+    touched.clear();
+    if (++epoch == INT32_MAX) {
+      std::fill(stamp.begin(), stamp.end(), 0);
+      epoch = 1;
+    }
+    for (int64_t p = offs[j]; p < offs[j + 1]; ++p) {
+      const std::vector<int32_t>* lst = index.find(flat[p]);
+      if (lst == nullptr) continue;
+      for (int32_t r : *lst) {
+        if (stamp[(size_t)r] != epoch) {
+          stamp[(size_t)r] = epoch;
+          inter[(size_t)r] = 1;
+          touched.push_back(r);
+        } else {
+          inter[(size_t)r]++;
+        }
+      }
+    }
+
+    double best_sim = -1.0;
+    int32_t best_rep = -1;
+    for (int32_t rep : touched) {
+      const int64_t size_qry = offs[rep + 1] - offs[rep];
+      const int32_t common = inter[(size_t)rep];
+      double sim;
+      if (containment) {
+        const int64_t mn = std::min(size_ref, size_qry);
+        if ((double)common < std::ceil(c_min * (double)mn)) continue;
+        sim = mn == 0 ? 1.0 : (double)common / (double)mn;
+      } else {
+        const double common_min =
+            std::ceil(j_min * (double)(size_ref + size_qry) / (1.0 + j_min));
+        if ((double)common < common_min) continue;
+        const int64_t denom = size_ref + size_qry - common;
+        sim = denom == 0 ? 1.0 : (double)common / (double)denom;
+      }
+      if (sim > best_sim) {  // strict: first-touch wins ties
+        best_sim = sim;
+        best_rep = rep;
+      }
+    }
+
+    best_out[j] = best_rep;
+    if (best_rep == -1) add_rep(j);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void rtc_greedy_u32(const uint32_t* flat, const int64_t* offs, int64_t n,
+                    double j_min, double c_min, int containment,
+                    int64_t prune_interval, int32_t* best_out) {
+  greedy_engine<uint32_t>(flat, offs, n, j_min, c_min, containment != 0,
+                          prune_interval, best_out);
+}
+
+void rtc_greedy_u64(const uint64_t* flat, const int64_t* offs, int64_t n,
+                    double j_min, double c_min, int containment,
+                    int64_t prune_interval, int32_t* best_out) {
+  greedy_engine<uint64_t>(flat, offs, n, j_min, c_min, containment != 0,
+                          prune_interval, best_out);
 }
 
 }  // extern "C"

@@ -91,6 +91,32 @@ class GreedyResult:
     order: np.ndarray               # size-desc permutation used internally
 
 
+def _greedy_native(inv: List[np.ndarray], j_min: float, c_min: float,
+                   is_containment: bool, prune_interval: int):
+    """Native C++ serial greedy (rtc_greedy_*): returns best_out[j] = chosen
+    rep (sorted index) or -1, with EXACTLY the Python loop's semantics
+    (first-touch order, f64 bounds, monotonic pruning) — or None if the
+    native library is unavailable."""
+    import ctypes
+    from ..utils import native as native_mod
+    lib = native_mod.load_native()
+    if lib is None or not hasattr(lib, "rtc_greedy_u32"):
+        return None
+    n = len(inv)
+    use64 = inv[0].dtype == np.uint64
+    flat = np.concatenate(inv).astype(np.uint64 if use64 else np.uint32)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(h) for h in inv], out=offs[1:])
+    best = np.empty(n, dtype=np.int32)
+    fn = lib.rtc_greedy_u64 if use64 else lib.rtc_greedy_u32
+    fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                   ctypes.c_double, ctypes.c_double, ctypes.c_int,
+                   ctypes.c_int64, ctypes.c_void_p]
+    fn(flat.ctypes.data, offs.ctypes.data, n, j_min, c_min,
+       1 if is_containment else 0, prune_interval, best.ctypes.data)
+    return best
+
+
 def greedy_cluster(
     hashes: List[np.ndarray],
     threshold: float,
@@ -98,6 +124,8 @@ def greedy_cluster(
     presorted: bool = False,
     is_containment: bool = False,
     progress: bool = False,
+    backend: str = "auto",
+    prune_interval: int = 0,
 ) -> GreedyResult:
     """Greedy incremental clustering over sketch hash arrays.
 
@@ -126,7 +154,32 @@ def greedy_cluster(
 
     j_min = min_jaccard_for_threshold(threshold, kmer_size)
     c_min = math.exp(-threshold * kmer_size)
-    prune_interval = 100_000 if n < 500_000 else 1_000_000
+    if prune_interval <= 0:
+        prune_interval = 100_000 if n < 500_000 else 1_000_000
+
+    if backend in ("auto", "native"):
+        best = _greedy_native(inv, j_min, c_min, is_containment,
+                              prune_interval)
+        if best is not None:
+            representatives = [0]
+            rep2cid = {0: 0}
+            members: List[List[int]] = [[]]
+            for j in range(1, n):
+                b = int(best[j])
+                if b >= 0:
+                    members[rep2cid[b]].append(j)
+                else:
+                    rep2cid[j] = len(representatives)
+                    representatives.append(j)
+                    members.append([])
+            clusters = [[int(order[rep])] + [int(order[m]) for m in mem]
+                        for rep, mem in zip(representatives, members)]
+            return GreedyResult(
+                clusters=clusters,
+                representatives=[int(order[r]) for r in representatives],
+                order=order)
+        elif backend == "native":
+            raise RuntimeError("native greedy engine unavailable")
 
     index = RepInvertedIndex()
     representatives = [0]

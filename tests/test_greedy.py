@@ -73,3 +73,33 @@ def test_greedy_batched_purity(synthetic_genomes):
     ser = greedy_cluster(ss.hashes, 0.05, p.kmer_size)
     assert {frozenset(c) for c in res1.clusters} == \
         {frozenset(c) for c in ser.clusters}
+
+
+def test_native_greedy_matches_python():
+    """Native C++ greedy engine == Python loop bit-exactly, both modes,
+    including the monotonic-prune path (tiny prune interval forces it)."""
+    import numpy as np
+    from rabbittclust_tpu.cluster.greedy import greedy_cluster
+    rng = np.random.default_rng(11)
+    # clustered + size-varied sketches (sizes descending after sort)
+    bases = [np.unique(rng.integers(0, 2**31, size=s).astype(np.uint32))
+             for s in (2000, 1500, 1200, 900, 700, 500)]
+    hashes = []
+    for i in range(120):
+        b = bases[i % len(bases)]
+        keep = b[rng.random(len(b)) < 0.85]
+        extra = np.unique(rng.integers(0, 2**31, size=60).astype(np.uint32))
+        hashes.append(np.unique(np.concatenate([keep, extra])))
+    for is_cont in (False, True):
+        for pi in (0, 16):  # default and prune-forcing interval
+            r_nat = greedy_cluster(hashes, 0.05, 21, is_containment=is_cont,
+                                   backend="native", prune_interval=pi)
+            r_py = greedy_cluster(hashes, 0.05, 21, is_containment=is_cont,
+                                  backend="python", prune_interval=pi)
+            assert r_nat.clusters == r_py.clusters, (is_cont, pi)
+            assert r_nat.representatives == r_py.representatives
+    # 64-bit hashes
+    h64 = [h.astype(np.uint64) for h in hashes]
+    r_nat = greedy_cluster(h64, 0.05, 21, backend="native")
+    r_py = greedy_cluster(h64, 0.05, 21, backend="python")
+    assert r_nat.clusters == r_py.clusters
