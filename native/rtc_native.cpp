@@ -1321,3 +1321,136 @@ void rtc_greedy_u64(const uint64_t* flat, const int64_t* offs, int64_t n,
 }
 
 }  // extern "C"
+
+// ---- native thresholded-pair engine ----------------------------------------
+// Emits (i, j, common) for every pair sharing >= 1 hash that passes the
+// integer prefilters: common >= ceil(j_min*(sA+sB)/(1+j_min)) and
+// (optional) max <= ratio2 * min.  Same inverted-index + epoch-stamped
+// accumulation skeleton as the MST engine; the caller computes float64
+// distances host-side (identical results to the NumPy candidate path,
+// which shares the counting semantics).  Used by the Leiden/DBSCAN graph
+// builders where instance-expansion in NumPy explodes on dense clusters.
+
+namespace {
+
+struct PairsOut {
+  std::vector<int32_t> pi, pj;
+  std::vector<int32_t> common;
+};
+
+template <typename HashT>
+PairsOut pairs_engine(const HashT* flat, const int64_t* offs, int64_t n,
+                      double j_min, int ratio2, int64_t start_index,
+                      int threads) {
+  PairsOut out;
+  if (n < 2) return out;
+  const int64_t m = offs[n];
+  std::vector<std::pair<HashT, uint32_t>> hv(m);
+#pragma omp parallel for schedule(static) num_threads(threads)
+  for (int64_t g = 0; g < n; ++g)
+    for (int64_t p = offs[g]; p < offs[g + 1]; ++p)
+      hv[p] = {flat[p], (uint32_t)g};
+  std::sort(hv.begin(), hv.end());
+  std::vector<int64_t> run_start(m);
+  for (int64_t p = 0; p < m; ++p)
+    run_start[p] = (p > 0 && hv[p].first == hv[p - 1].first)
+                       ? run_start[p - 1] : p;
+  std::vector<int64_t> gcount(n + 1, 0);
+  for (int64_t p = 0; p < m; ++p) gcount[hv[p].second + 1]++;
+  for (int64_t g = 0; g < n; ++g) gcount[g + 1] += gcount[g];
+  std::vector<int64_t> gpos(m);
+  {
+    std::vector<int64_t> cur(gcount.begin(), gcount.end() - 1);
+    for (int64_t p = 0; p < m; ++p) gpos[cur[hv[p].second]++] = p;
+  }
+
+  std::vector<PairsOut> touts(threads);
+
+#pragma omp parallel num_threads(threads)
+  {
+    int tid = omp_get_thread_num();
+    auto& t = touts[tid];
+    std::vector<int32_t> inter(n, 0), stamp(n, 0), touched;
+    int32_t epoch = 0;
+    touched.reserve(4096);
+
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t i = start_index; i < n; ++i) {
+      const int64_t size0 = offs[i + 1] - offs[i];
+      if (size0 == 0) continue;
+      touched.clear();
+      if (++epoch == INT32_MAX) {
+        std::fill(stamp.begin(), stamp.end(), 0);
+        epoch = 1;
+      }
+      for (int64_t q = gcount[i]; q < gcount[i + 1]; ++q) {
+        int64_t p = gpos[q];
+        for (int64_t r = run_start[p]; r < m && hv[r].first == hv[p].first;
+             ++r) {
+          int32_t cur = (int32_t)hv[r].second;
+          if (cur >= i) break;  // only j < i
+          if (stamp[cur] != epoch) {
+            stamp[cur] = epoch;
+            inter[cur] = 1;
+            touched.push_back(cur);
+          } else {
+            inter[cur]++;
+          }
+        }
+      }
+      for (int32_t j : touched) {
+        const int64_t size1 = offs[j + 1] - offs[j];
+        if (size1 == 0) continue;
+        const int64_t mn = size0 < size1 ? size0 : size1;
+        const int64_t mx = size0 > size1 ? size0 : size1;
+        if (ratio2 > 0 && mx > (int64_t)ratio2 * mn) continue;
+        const int32_t c = inter[j];
+        if (j_min > 0.0 &&
+            (double)c < std::ceil(j_min * (double)(size0 + size1) /
+                                  (1.0 + j_min)))
+          continue;
+        t.pi.push_back(j);          // emit i < j convention: (j, i)
+        t.pj.push_back((int32_t)i);
+        t.common.push_back(c);
+      }
+    }
+  }
+  size_t total = 0;
+  for (auto& t : touts) total += t.pi.size();
+  out.pi.reserve(total);
+  out.pj.reserve(total);
+  out.common.reserve(total);
+  for (auto& t : touts) {
+    out.pi.insert(out.pi.end(), t.pi.begin(), t.pi.end());
+    out.pj.insert(out.pj.end(), t.pj.begin(), t.pj.end());
+    out.common.insert(out.common.end(), t.common.begin(), t.common.end());
+  }
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* rtc_pairs_u32(const uint32_t* flat, const int64_t* offs, int64_t n,
+                    double j_min, int ratio2, int64_t start_index,
+                    int threads) {
+  return new PairsOut(pairs_engine<uint32_t>(flat, offs, n, j_min, ratio2,
+                                             start_index, threads));
+}
+void* rtc_pairs_u64(const uint64_t* flat, const int64_t* offs, int64_t n,
+                    double j_min, int ratio2, int64_t start_index,
+                    int threads) {
+  return new PairsOut(pairs_engine<uint64_t>(flat, offs, n, j_min, ratio2,
+                                             start_index, threads));
+}
+int64_t rtc_pairs_count(void* h) { return (int64_t)((PairsOut*)h)->pi.size(); }
+void rtc_pairs_data(void* h, int32_t* pi, int32_t* pj, int32_t* common) {
+  PairsOut* o = (PairsOut*)h;
+  memcpy(pi, o->pi.data(), o->pi.size() * 4);
+  memcpy(pj, o->pj.data(), o->pj.size() * 4);
+  memcpy(common, o->common.data(), o->common.size() * 4);
+}
+void rtc_pairs_free(void* h) { delete (PairsOut*)h; }
+
+}  // extern "C"

@@ -77,7 +77,10 @@ def _neighbor_lists(hashes, eps: float, kmer_size: int, knn_k: int,
         from ..ops.bitmap import candidate_pairs_threshold
         pair_iter = [candidate_pairs_threshold(hashes, eps, kmer_size)]
     else:
-        pair_iter = candidate_pair_counts(hashes)
+        from .mst import native_pair_counts
+        nat = native_pair_counts(hashes)  # same pair set (common >= 1)
+        pair_iter = [nat] if nat is not None \
+            else candidate_pair_counts(hashes)
     for i, j, c in pair_iter:
         s0 = sizes[i].astype(np.float64)
         s1 = sizes[j].astype(np.float64)

@@ -41,7 +41,16 @@ def build_similarity_graph(hashes: List[np.ndarray], threshold: float,
         from ..ops.bitmap import candidate_pairs_threshold
         pairs_iter = [candidate_pairs_threshold(hashes, threshold, kmer_size)]
     else:
-        pairs_iter = candidate_pair_counts(hashes)
+        from ..distance.mash import min_jaccard_for_threshold
+        from .mst import native_pair_counts
+        # native fast path with a safe integer prefilter: the graph keeps
+        # only d < threshold and ratio >= 0.5, so common >= bound(j_min) and
+        # max <= 2*min are supersets (tiny slack guards f64-ceil rounding)
+        j_min_slack = min_jaccard_for_threshold(threshold, kmer_size) \
+            * (1.0 - 1e-9)
+        nat = native_pair_counts(hashes, j_min=j_min_slack, ratio2=2)
+        pairs_iter = [nat] if nat is not None \
+            else candidate_pair_counts(hashes)
     for i, j, c in pairs_iter:
         s0 = sizes[i]
         s1 = sizes[j]

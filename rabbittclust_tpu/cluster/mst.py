@@ -99,6 +99,54 @@ def candidate_pair_counts(
         j0 = j1
 
 
+def native_pair_counts(hashes: List[np.ndarray], j_min: float = 0.0,
+                       ratio2: int = 0, start_index: int = 0,
+                       threads: int = 0):
+    """Native (i, j, common) over all pairs sharing >= 1 hash (i < j), with
+    optional integer prefilters: common >= ceil(j_min*(sA+sB)/(1+j_min)) and
+    max_size <= ratio2 * min_size.  Returns None when the native library is
+    unavailable — callers fall back to candidate_pair_counts.  ~30-50x the
+    NumPy instance-expansion path on dense clusters (rtc_pairs_*)."""
+    import ctypes
+    import os
+    from ..utils import native as native_mod
+    lib = native_mod.load_native()
+    if lib is None or not hasattr(lib, "rtc_pairs_u32"):
+        return None
+    n = len(hashes)
+    if n < 2:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), e.copy()
+    use64 = hashes[0].dtype == np.uint64
+    flat = np.concatenate(hashes).astype(np.uint64 if use64 else np.uint32)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(h) for h in hashes], out=offs[1:])
+    fn = lib.rtc_pairs_u64 if use64 else lib.rtc_pairs_u32
+    fn.restype = ctypes.c_void_p
+    fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                   ctypes.c_double, ctypes.c_int, ctypes.c_int64,
+                   ctypes.c_int]
+    lib.rtc_pairs_count.restype = ctypes.c_int64
+    lib.rtc_pairs_count.argtypes = [ctypes.c_void_p]
+    lib.rtc_pairs_data.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_void_p, ctypes.c_void_p]
+    lib.rtc_pairs_free.argtypes = [ctypes.c_void_p]
+    h = fn(flat.ctypes.data, offs.ctypes.data, n, j_min, ratio2,
+           start_index, threads or (os.cpu_count() or 1))
+    try:
+        m = int(lib.rtc_pairs_count(h))
+        pi = np.empty(m, dtype=np.int32)
+        pj = np.empty(m, dtype=np.int32)
+        common = np.empty(m, dtype=np.int32)
+        if m:
+            lib.rtc_pairs_data(h, pi.ctypes.data, pj.ctypes.data,
+                               common.ctypes.data)
+    finally:
+        lib.rtc_pairs_free(h)
+    return (pi.astype(np.int64), pj.astype(np.int64),
+            common.astype(np.int64))
+
+
 # ---------------------------------------------------------------------------
 # Edge construction + streaming Kruskal
 # ---------------------------------------------------------------------------
