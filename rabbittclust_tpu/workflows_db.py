@@ -43,19 +43,24 @@ def build_kssd_db_fast(input_file: str, db_folder: str, is_set_kmer: bool,
     files: List[str] = []
     with open(input_file) as f:
         head = f.read(4096)
+    # NOTE: the reference's detector (looks_like_cluster_result_file,
+    # sub_command.cpp:2224-2238) only tests whether the FIRST non-blank line
+    # starts with "the cluster", so headered cluster files (with the
+    # "# Clustering threshold" banner) crash it; we accept both forms.
     if "the cluster" in head or head.startswith("# Clustering threshold"):
         files = extract_paths_from_cluster_file(input_file)
-        print(f"-----extracted {len(files)} genome paths from cluster file",
-              file=sys.stderr)
+        print(f"-----buildDB: extracted genome paths from cluster file "
+              f"({len(files)})", file=sys.stderr)
     else:
         files = read_file_list(input_file)
     if not files:
         raise ValueError(f"no genome paths found in {input_file}")
     from .workflows import tune_kssd_parameters
-    # write the file list for tuning (cal_size expects a list file)
+    # write the file list for tuning (cal_size expects a list file);
+    # same name/layout as the reference's materialized list (builddb.list)
     tmp_list = input_file
     if files != read_file_list(input_file):
-        tmp_list = os.path.join(db_folder, "_extracted_list.txt")
+        tmp_list = os.path.join(db_folder, "builddb.list")
         os.makedirs(db_folder, exist_ok=True)
         with open(tmp_list, "w") as f:
             f.write("\n".join(files) + "\n")

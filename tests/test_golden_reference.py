@@ -413,3 +413,54 @@ def test_dbscan_byte_identical(oracle, genomes, tmp_path):
                                   *extra], str(our_d))
         assert same_bytes(str(ref_d / "r.cluster"),
                           str(our_d / "o.cluster")), suffix
+
+
+def test_builddb_byte_identical(oracle, genomes, tmp_path):
+    """--buildDB: reusable sketch+index DB folder from a genome list AND
+    from a previous .cluster file (paths extracted), byte-identical
+    sketches; the built DB folder re-clusters via --presketched
+    identically on both sides (sub_command.cpp:2224-2300)."""
+    ref_d = tmp_path / "ref"
+    our_d = tmp_path / "our"
+    ref_d.mkdir()
+    our_d.mkdir()
+    run_ref(oracle, "mst", ["--fast", "-l", "-i", genomes.list_file,
+                            "--buildDB", "refdb"], str(ref_d))
+    run_ours("clust_mst", ["--fast", "-l", "-i", genomes.list_file,
+                           "--buildDB", "ourdb"], str(our_d))
+    for f in ("kssd.hash.sketch", "kssd.info.sketch"):
+        assert same_bytes(str(ref_d / "refdb" / f),
+                          str(our_d / "ourdb" / f)), f
+    for f in ("kssd.sketch.index", "kssd.sketch.dict"):
+        assert os.path.getsize(str(ref_d / "refdb" / f)) == \
+            os.path.getsize(str(our_d / "ourdb" / f)), f
+    # cross-consume: our CLI re-clusters from the reference's DB and
+    # vice versa, identical outputs
+    run_ours("clust_mst", ["--fast", "--presketched", str(ref_d / "refdb"),
+                           "-o", "x1.cluster", "-d", "0.05", "-e"],
+             str(tmp_path))
+    run_ref(oracle, "mst", ["--fast", "--presketched", str(our_d / "ourdb"),
+                            "-o", "x2.cluster", "-d", "0.05", "-e"],
+            str(tmp_path))
+    assert same_bytes(str(tmp_path / "x1.cluster"),
+                      str(tmp_path / "x2.cluster"))
+    # cluster-file input: paths extracted into builddb.list.  The
+    # reference's detector only recognizes HEADERLESS cluster files (first
+    # non-blank line must start with "the cluster",
+    # sub_command.cpp:2224-2238 — the "# Clustering threshold" banner makes
+    # it crash); greedy output has no banner.  We accept both forms.
+    run_ref(oracle, "greedy", ["--fast", "-l", "-i", genomes.list_file,
+                               "-o", "g.cluster", "-d", "0.05", "-e"],
+            str(tmp_path))
+    run_ref(oracle, "mst", ["--fast", "-i", str(tmp_path / "g.cluster"),
+                            "--buildDB", "refdb2", "-l"], str(ref_d))
+    run_ours("clust_mst", ["--fast", "-i", str(tmp_path / "g.cluster"),
+                           "--buildDB", "ourdb2", "-l"], str(our_d))
+    assert same_bytes(str(ref_d / "refdb2" / "builddb.list"),
+                      str(our_d / "ourdb2" / "builddb.list"))
+    assert same_bytes(str(ref_d / "refdb2" / "kssd.hash.sketch"),
+                      str(our_d / "ourdb2" / "kssd.hash.sketch"))
+    # headered cluster file: ours extracts paths (reference quirk: crashes)
+    run_ours("clust_mst", ["--fast", "-i", str(tmp_path / "x1.cluster"),
+                           "--buildDB", "ourdb3", "-l"], str(our_d))
+    assert os.path.exists(str(our_d / "ourdb3" / "kssd.hash.sketch"))
