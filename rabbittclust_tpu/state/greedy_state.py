@@ -53,6 +53,46 @@ def exact_mash_distance(a: np.ndarray, b: np.ndarray, kmer_size: int) -> float:
     return min(d, 1.0)
 
 
+def _write_repdb_scale_index_clusters(w, total, n_reps, clusters,
+                                      inverted_index) -> None:
+    """Shared [Scale]/[Inverted Index]/[Cluster Size Distribution] body of
+    the reference RepDB stats reports (greedy.cpp:2673-2730,3073-3128)."""
+    w("[Scale]\n")
+    w(f"  Total genomes:          {total}\n")
+    w(f"  Representatives:        {n_reps}\n")
+    w(f"  Clusters:               {len(clusters)}\n")
+    compression = (1.0 - n_reps / total) * 100.0 if total > 0 else 0.0
+    w(f"  Compression ratio:      {compression:.2f}%\n")
+    w("\n")
+    w("[Inverted Index]\n")
+    w(f"  Unique hashes:          {len(inverted_index)}\n")
+    tp = sum(len(v) for v in inverted_index.values())
+    mp = max((len(v) for v in inverted_index.values()), default=0)
+    avg = tp / len(inverted_index) if inverted_index else 0.0
+    w(f"  Total postings:         {tp}\n")
+    w(f"  Avg posting length:     {avg:.2f}\n")
+    w(f"  Max posting length:     {mp}\n")
+    w("\n")
+    w("[Cluster Size Distribution]\n")
+    if clusters:
+        sizes = sorted(len(c) for c in clusters)
+        mean = total / len(clusters)
+        median = sizes[len(sizes) // 2]
+        singleton = sum(1 for s in sizes if s <= 1)
+        w(f"  Min cluster size:       {sizes[0]}\n")
+        w(f"  Max cluster size:       {sizes[-1]}\n")
+        w(f"  Mean cluster size:      {mean:.2f}\n")
+        w(f"  Median cluster size:    {median}\n")
+        w(f"  Singletons:             {singleton} "
+          f"({100.0 * singleton / len(clusters):.1f}%)\n")
+        p90 = sizes[min(int(len(sizes) * 0.9), len(sizes) - 1)]
+        p95 = sizes[min(int(len(sizes) * 0.95), len(sizes) - 1)]
+        p99 = sizes[min(int(len(sizes) * 0.99), len(sizes) - 1)]
+        w(f"  P90 cluster size:       {p90}\n")
+        w(f"  P95 cluster size:       {p95}\n")
+        w(f"  P99 cluster size:       {p99}\n")
+
+
 @dataclass
 class KssdClusterState:
     params: KssdParams
@@ -213,38 +253,42 @@ class KssdClusterState:
                 "distance": -1.0, "cluster_id": -1, "cluster_size": 0}
 
     def print_stats(self, out=sys.stdout) -> None:
+        """Byte-identical to the reference KssdClusterState::print_stats
+        (greedy.cpp:2656-2762)."""
         total = sum(len(c) for c in self.clusters)
-        sizes = sorted((len(c) for c in self.clusters), reverse=True)
         w = out.write
         w("========================================\n")
         w("        RepDB Statistics Report\n")
-        w("========================================\n\n")
+        w("========================================\n")
+        w("\n")
         w("[Basic Info]\n")
         w(f"  Threshold:              {self.threshold:g}\n")
         w(f"  Kmer size:              {self.kmer_size}\n")
         w(f"  KSSD half_k:            {self.params.half_k}\n")
         w(f"  KSSD half_subk:         {self.params.half_subk}\n")
-        w(f"  KSSD drlevel:           {self.params.drlevel}\n\n")
-        w("[Scale]\n")
-        w(f"  Representatives:        {len(self.representative_ids)}\n")
-        w(f"  Total genomes:          {total}\n")
-        if total:
-            w(f"  Compression ratio:      "
-              f"{total / max(len(self.representative_ids), 1):.2f}x\n")
-        w(f"  Inverted index hashes:  {len(self.inverted_index)}\n\n")
-        w("[Cluster Size Distribution]\n")
-        if sizes:
-            w(f"  Largest cluster:        {sizes[0]}\n")
-            w(f"  Smallest cluster:       {sizes[-1]}\n")
-            w(f"  Median cluster size:    {sizes[len(sizes) // 2]}\n")
-            singletons = sum(1 for s in sizes if s == 1)
-            w(f"  Singleton clusters:     {singletons}\n")
-            hist = {}
-            for s in sizes:
-                b = 1 << max(0, (s - 1).bit_length())
-                hist[b] = hist.get(b, 0) + 1
-            for b in sorted(hist):
-                w(f"    <= {b:8d}: {hist[b]}\n")
+        w(f"  KSSD drlevel:           {self.params.drlevel}\n")
+        w("\n")
+        _write_repdb_scale_index_clusters(
+            w, total, len(self.representative_ids), self.clusters,
+            self.inverted_index)
+        w("\n")
+        w("[Representative Sketch Sizes]\n")
+        if self.representative_ids:
+            szs = [len(self.hashes[r]) for r in self.representative_ids]
+            w(f"  Min sketch size:        {min(szs)}\n")
+            w(f"  Max sketch size:        {max(szs)}\n")
+            w(f"  Mean sketch size:       {sum(szs) / len(szs):.1f}\n")
+        total_seq_len = sum(self.total_lens)
+        if total_seq_len > 0:
+            rep_seq_len = sum(self.total_lens[r]
+                              for r in self.representative_ids)
+            w("\n")
+            w("[Genome Coverage]\n")
+            w(f"  Total sequence length:  {total_seq_len} bp\n")
+            w(f"  Representative seq len: {rep_seq_len} bp\n")
+            w(f"  Coverage ratio:         "
+              f"{100.0 * rep_seq_len / total_seq_len:.2f}%\n")
+        w("========================================\n")
 
     # ---- persistence ------------------------------------------------------
 
@@ -513,10 +557,8 @@ class MinHashClusterState:
         return exact_mash_distance(a, b, self.kmer_size)
 
     def incremental_cluster(self, new_ss: SketchSet) -> List[List[int]]:
-        radio = 2.0 * math.exp(self.threshold * self.kmer_size) - 1.0
         x = math.exp(-self.threshold * self.kmer_size)
         j_min = x / (2.0 - x)
-        c_min = x
         start = len(self.hashes)
         self.file_names.extend(new_ss.file_names)
         self.total_lens.extend(new_ss.total_lens)
@@ -542,13 +584,12 @@ class MinHashClusterState:
                 size_ref = len(self.hashes[rep_gid])
                 if size_ref == 0:
                     continue
+                # int-truncated common bounds, no size-ratio prefilter
+                # (reference MinHashIncrementalCluster, greedy.cpp:2050-2062)
                 if self.is_containment:
-                    if common < int(c_min * min(size_qry, size_ref)):
+                    if common < int(j_min * min(size_qry, size_ref)):
                         continue
                 else:
-                    ratio = size_qry / size_ref
-                    if ratio > radio or ratio < 1.0 / radio:
-                        continue
                     if common < int(j_min * (size_qry + size_ref) /
                                     (1.0 + j_min)):
                         continue
@@ -562,9 +603,12 @@ class MinHashClusterState:
             if best_rep != -1:
                 self.clusters[best_rep].append(gid)
             else:
+                # the new representative is NOT a member of its own cluster
+                # (reference quirk: clusters.push_back(empty),
+                # greedy.cpp:2099-2103 — same as the KSSD state path)
                 new_rep_idx = len(self.representative_ids)
                 self.representative_ids.append(gid)
-                self.clusters.append([gid])
+                self.clusters.append([])
                 self._index_add(new_rep_idx, h)
         return self.clusters
 
@@ -604,52 +648,47 @@ class MinHashClusterState:
                 "distance": -1.0, "cluster_id": -1, "cluster_size": 0}
 
     def print_stats(self, out=sys.stdout) -> None:
+        """Byte-identical to the reference MinHashClusterState::print_stats
+        (greedy.cpp:3057-3147)."""
         total = sum(len(c) for c in self.clusters)
-        sizes = sorted((len(c) for c in self.clusters), reverse=True)
         w = out.write
         w("========================================\n")
-        w("     MinHash RepDB Statistics Report\n")
-        w("========================================\n\n")
+        w("    MinHash RepDB Statistics Report\n")
+        w("========================================\n")
+        w("\n")
         w("[Basic Info]\n")
         w(f"  Threshold:              {self.threshold:g}\n")
         w(f"  Kmer size:              {self.kmer_size}\n")
         w(f"  Sketch size:            {self.sketch_size}\n")
-        w(f"  Containment:            {self.is_containment}\n\n")
-        w("[Scale]\n")
-        w(f"  Representatives:        {len(self.representative_ids)}\n")
-        w(f"  Total genomes:          {total}\n")
-        w(f"  Inverted index hashes:  {len(self.inverted_index)}\n")
-        if sizes:
-            w("\n[Cluster Size Distribution]\n")
-            w(f"  Largest cluster:        {sizes[0]}\n")
-            w(f"  Singleton clusters:     {sum(1 for s in sizes if s == 1)}\n")
+        w(f"  Containment mode:       "
+          f"{'yes' if self.is_containment else 'no'}\n")
+        w("\n")
+        _write_repdb_scale_index_clusters(
+            w, total, len(self.representative_ids), self.clusters,
+            self.inverted_index)
+        total_seq_len = sum(self.total_lens)
+        if total_seq_len > 0:
+            rep_seq_len = sum(self.total_lens[r]
+                              for r in self.representative_ids)
+            w("\n")
+            w("[Genome Coverage]\n")
+            w(f"  Total sequence length:  {total_seq_len} bp\n")
+            w(f"  Representative seq len: {rep_seq_len} bp\n")
+            w(f"  Coverage ratio:         "
+              f"{100.0 * rep_seq_len / total_seq_len:.2f}%\n")
+        w("========================================\n")
 
-    # ---- persistence (MINHASH magic; full state and RepDB share layout) ---
+    # ---- persistence: binary-compatible with the reference --------------
+    # full state  = "MINHASH\0"  (MinHashClusterState::save,
+    #                             greedy.cpp:2134-2207)
+    # RepDB       = "MHREPDB1"   (MinHashClusterState::save_repdb,
+    #                             greedy.cpp:2789-2860)
+    # contain_compress is NOT persisted by either (reference quirk; the
+    # query path only needs per-genome sketch sizes).
+    # The inverted index is written in sorted hash order (the reference
+    # writes unordered_map iteration order — loaders are order-agnostic).
 
-    def _save_common(self, f, reps_only: bool) -> None:
-        f.write(b"MINHASH\x00")
-        f.write(struct.pack("<d", self.threshold))
-        f.write(struct.pack("<ii", self.kmer_size, self.sketch_size))
-        f.write(struct.pack("<?", self.is_containment))
-        f.write(struct.pack("<i", self.contain_compress))
-        f.write(struct.pack("<Q", len(self.representative_ids)))
-        f.write(np.asarray(self.representative_ids, dtype="<i4").tobytes())
-        f.write(struct.pack("<Q", len(self.hashes)))
-        f.write(struct.pack("<?", reps_only))
-        store = list(self.representative_ids) if reps_only else \
-            list(range(len(self.hashes)))
-        f.write(struct.pack("<Q", len(store)))
-        for i in store:
-            h = self.hashes[i]
-            f.write(struct.pack("<i", i))
-            f.write(struct.pack("<Q", self.total_lens[i]))
-            f.write(struct.pack("<Q", len(h)))
-            f.write(np.ascontiguousarray(h, dtype=np.uint64).tobytes())
-        for i in range(len(self.hashes)):
-            name = self.file_names[i].encode()
-            f.write(struct.pack("<Q", len(name)))
-            f.write(name)
-            f.write(struct.pack("<Q", self.total_lens[i]))
+    def _write_clusters_and_index(self, f) -> None:
         f.write(struct.pack("<Q", len(self.clusters)))
         for cl in self.clusters:
             f.write(struct.pack("<Q", len(cl)))
@@ -663,65 +702,149 @@ class MinHashClusterState:
 
     def save(self, filepath: str) -> None:
         with open(filepath, "wb") as f:
-            self._save_common(f, reps_only=False)
-        print(f"Saved MinHash state to: {filepath}", file=sys.stderr)
+            f.write(b"MINHASH\x00")
+            f.write(struct.pack("<dii?", self.threshold, self.kmer_size,
+                                self.sketch_size, self.is_containment))
+            f.write(struct.pack("<Q", len(self.representative_ids)))
+            f.write(np.asarray(self.representative_ids,
+                               dtype="<i4").tobytes())
+            f.write(struct.pack("<Q", len(self.hashes)))
+            for i in range(len(self.hashes)):
+                h = self.hashes[i]
+                f.write(struct.pack("<i", i))
+                f.write(struct.pack("<Q", self.total_lens[i]))
+                f.write(struct.pack("<Q", len(h)))
+                f.write(np.ascontiguousarray(h, dtype=np.uint64).tobytes())
+                name = self.file_names[i].encode()
+                f.write(struct.pack("<Q", len(name)))
+                f.write(name)
+            self._write_clusters_and_index(f)
+        print(f"Saved clustering state to: {filepath}", file=sys.stderr)
 
     def save_repdb(self, filepath: str) -> None:
         with open(filepath, "wb") as f:
-            self._save_common(f, reps_only=True)
+            f.write(b"MHREPDB1")
+            f.write(struct.pack("<dii?", self.threshold, self.kmer_size,
+                                self.sketch_size, self.is_containment))
+            f.write(struct.pack("<Q", len(self.representative_ids)))
+            for gid in self.representative_ids:
+                h = self.hashes[gid]
+                f.write(struct.pack("<ii", gid, gid))  # rep id + sketch id
+                f.write(struct.pack("<Q", self.total_lens[gid]))
+                f.write(struct.pack("<?", self.is_containment))
+                f.write(struct.pack("<Q", len(h)))
+                f.write(np.ascontiguousarray(h, dtype=np.uint64).tobytes())
+                name = self.file_names[gid].encode()
+                f.write(struct.pack("<Q", len(name)))
+                f.write(name)
+            f.write(struct.pack("<Q", len(self.clusters)))
+            for cl in self.clusters:
+                f.write(struct.pack("<Q", len(cl)))
+                f.write(np.asarray(cl, dtype="<i4").tobytes())
+            f.write(struct.pack("<Q", len(self.hashes)))
+            for i in range(len(self.hashes)):
+                name = self.file_names[i].encode()
+                f.write(struct.pack("<Q", len(name)))
+                f.write(name)
+                f.write(struct.pack("<Q", self.total_lens[i]))
+            f.write(struct.pack("<Q", len(self.inverted_index)))
+            for hv in sorted(self.inverted_index):
+                lst = self.inverted_index[hv]
+                f.write(struct.pack("<Q", hv))
+                f.write(struct.pack("<Q", len(lst)))
+                f.write(np.asarray(lst, dtype="<i4").tobytes())
         print(f"MinHash RepDB saved to: {filepath}", file=sys.stderr)
+
+    @staticmethod
+    def _load_index(data: bytes, off: int):
+        (nh,) = struct.unpack_from("<Q", data, off); off += 8
+        idx: Dict[int, List[int]] = {}
+        for _ in range(nh):
+            (hv,) = struct.unpack_from("<Q", data, off); off += 8
+            (m,) = struct.unpack_from("<Q", data, off); off += 8
+            idx[hv] = np.frombuffer(
+                data, dtype="<i4", count=m, offset=off).tolist()
+            off += 4 * m
+        return idx, off
 
     @classmethod
     def load(cls, filepath: str) -> "MinHashClusterState":
         with open(filepath, "rb") as f:
             data = f.read()
+        magic = data[:8]
+        if magic == b"MHREPDB1":
+            return cls._load_repdb_bytes(data, filepath)
         if data[:7] != b"MINHASH":
             raise ValueError(f"bad MinHash state magic in {filepath}")
         off = 8
-        (threshold,) = struct.unpack_from("<d", data, off); off += 8
-        k, ssz = struct.unpack_from("<ii", data, off); off += 8
-        (isc,) = struct.unpack_from("<?", data, off); off += 1
-        (cc,) = struct.unpack_from("<i", data, off); off += 4
+        threshold, k, ssz, isc = struct.unpack_from("<dii?", data, off)
+        off += 17
         st = cls(threshold=threshold, kmer_size=k, sketch_size=ssz,
-                 is_containment=bool(isc), contain_compress=cc)
+                 is_containment=bool(isc))
         (nrep,) = struct.unpack_from("<Q", data, off); off += 8
         st.representative_ids = np.frombuffer(
             data, dtype="<i4", count=nrep, offset=off).tolist()
         off += 4 * nrep
         (ntotal,) = struct.unpack_from("<Q", data, off); off += 8
-        (reps_only,) = struct.unpack_from("<?", data, off); off += 1
-        (nstore,) = struct.unpack_from("<Q", data, off); off += 8
-        stored: Dict[int, np.ndarray] = {}
-        lens: Dict[int, int] = {}
-        for _ in range(nstore):
-            (i,) = struct.unpack_from("<i", data, off); off += 4
+        for _ in range(ntotal):
+            off += 4  # sketch.id (== position)
             (tl,) = struct.unpack_from("<Q", data, off); off += 8
             (hn,) = struct.unpack_from("<Q", data, off); off += 8
-            stored[i] = np.frombuffer(data, dtype=np.uint64, count=hn,
-                                      offset=off).copy()
-            lens[i] = tl
+            st.hashes.append(np.frombuffer(
+                data, dtype=np.uint64, count=hn, offset=off).copy())
             off += 8 * hn
-        for i in range(ntotal):
             (nl,) = struct.unpack_from("<Q", data, off); off += 8
             st.file_names.append(
                 data[off:off + nl].decode("utf-8", "replace")); off += nl
-            (tl,) = struct.unpack_from("<Q", data, off); off += 8
             st.total_lens.append(tl)
-            st.hashes.append(stored.get(i, np.empty(0, dtype=np.uint64)))
         (ncl,) = struct.unpack_from("<Q", data, off); off += 8
         for _ in range(ncl):
             (m,) = struct.unpack_from("<Q", data, off); off += 8
             st.clusters.append(np.frombuffer(
                 data, dtype="<i4", count=m, offset=off).tolist())
             off += 4 * m
-        (nh,) = struct.unpack_from("<Q", data, off); off += 8
-        for _ in range(nh):
-            (hv,) = struct.unpack_from("<Q", data, off); off += 8
-            (m,) = struct.unpack_from("<Q", data, off); off += 8
-            st.inverted_index[hv] = np.frombuffer(
-                data, dtype="<i4", count=m, offset=off).tolist()
-            off += 4 * m
+        st.inverted_index, off = cls._load_index(data, off)
         print(f"Loaded MinHash state from: {filepath}", file=sys.stderr)
+        return st
+
+    @classmethod
+    def _load_repdb_bytes(cls, data: bytes,
+                          filepath: str) -> "MinHashClusterState":
+        off = 8
+        threshold, k, ssz, isc = struct.unpack_from("<dii?", data, off)
+        off += 17
+        st = cls(threshold=threshold, kmer_size=k, sketch_size=ssz,
+                 is_containment=bool(isc))
+        (nrep,) = struct.unpack_from("<Q", data, off); off += 8
+        rep_hashes: Dict[int, np.ndarray] = {}
+        for _ in range(nrep):
+            (gid,) = struct.unpack_from("<i", data, off); off += 4
+            off += 4  # sk.id
+            (tl,) = struct.unpack_from("<Q", data, off); off += 8
+            off += 1  # sk.isContainment
+            (hn,) = struct.unpack_from("<Q", data, off); off += 8
+            rep_hashes[gid] = np.frombuffer(
+                data, dtype=np.uint64, count=hn, offset=off).copy()
+            off += 8 * hn
+            (nl,) = struct.unpack_from("<Q", data, off); off += 8
+            off += nl  # fileName (re-read from the all-genomes table)
+            st.representative_ids.append(gid)
+        (ncl,) = struct.unpack_from("<Q", data, off); off += 8
+        for _ in range(ncl):
+            (m,) = struct.unpack_from("<Q", data, off); off += 8
+            st.clusters.append(np.frombuffer(
+                data, dtype="<i4", count=m, offset=off).tolist())
+            off += 4 * m
+        (nall,) = struct.unpack_from("<Q", data, off); off += 8
+        for i in range(nall):
+            (nl,) = struct.unpack_from("<Q", data, off); off += 8
+            st.file_names.append(
+                data[off:off + nl].decode("utf-8", "replace")); off += nl
+            (tl,) = struct.unpack_from("<Q", data, off); off += 8
+            st.total_lens.append(tl)
+            st.hashes.append(rep_hashes.get(i, np.empty(0, np.uint64)))
+        st.inverted_index, off = cls._load_index(data, off)
+        print(f"MinHash RepDB loaded from: {filepath}", file=sys.stderr)
         return st
 
     load_repdb = load

@@ -265,33 +265,90 @@ class MstState:
         return {"rep_idx": -1, "genome_id": -1, "genome_name": "unassigned",
                 "distance": -1.0, "cluster_id": -1, "cluster_size": 0}
 
+    def _print_cluster_size_histogram(self, w) -> None:
+        """Reference print_cluster_size_histogram (mst_state.cpp:1338-1378):
+        buckets 1, 2, 3-5, 6-10, 11-100, 101-1000, >1000 over live (non-
+        empty) clusters."""
+        buckets = [0] * 7
+        live = 0
+        total = 0
+        max_size = 0
+        min_size = 1 << 31
+        for c in self.clusters:
+            sz = len(c)
+            if sz == 0:
+                continue
+            live += 1
+            total += sz
+            max_size = max(max_size, sz)
+            min_size = min(min_size, sz)
+            if sz == 1:
+                buckets[0] += 1
+            elif sz == 2:
+                buckets[1] += 1
+            elif sz <= 5:
+                buckets[2] += 1
+            elif sz <= 10:
+                buckets[3] += 1
+            elif sz <= 100:
+                buckets[4] += 1
+            elif sz <= 1000:
+                buckets[5] += 1
+            else:
+                buckets[6] += 1
+        if live == 0:
+            min_size = 0
+        w(f"  Live clusters:    {live}\n")
+        w(f"  Total members:    {total}\n")
+        avg = total / live if live else 0.0
+        w(f"  Cluster size:     min={min_size} max={max_size} "
+          f"avg={avg:.2f}\n")
+        w("  Size histogram:\n")
+        labels = ("size=1        ", "size=2        ", "size=3-5      ",
+                  "size=6-10     ", "size=11-100   ", "size=101-1000 ",
+                  "size>1000     ")
+        for lab, b in zip(labels, buckets):
+            w(f"    {lab} : {b}\n")
+
     def print_stats(self, out=sys.stdout) -> None:
-        sizes = sorted((len(c) for c in self.clusters if c), reverse=True)
-        total = sum(sizes)
+        """Byte-identical to the reference's KssdMstPrintStats /
+        MinHashMstPrintStats (mst_state.cpp:1381-1412)."""
+        total = sum(len(c) for c in self.clusters)
         w = out.write
-        w("========================================\n")
-        w("      MST RepDB Statistics Report\n")
-        w("========================================\n\n")
-        w("[Basic Info]\n")
-        w(f"  Threshold:              {self.threshold:g}\n")
-        w(f"  Kmer size:              {self.kmer_size}\n")
         if self.kind == "kssd":
-            w(f"  KSSD half_k:            {self.half_k}\n")
-            w(f"  KSSD half_subk:         {self.half_subk}\n")
-            w(f"  KSSD drlevel:           {self.drlevel}\n")
+            w("========== KSSD MST RepDB stats ==========\n")
+            w(f"  Kmer size:        {self.kmer_size}\n")
+            w(f"  half_k:           {self.half_k}\n")
+            w(f"  half_subk:        {self.half_subk}\n")
+            w(f"  drlevel:          {self.drlevel}\n")
+            w(f"  use64:            {'yes' if self.use64 else 'no'}\n")
+            w(f"  Threshold:        {self.threshold:.6f}\n")
+            w(f"  Total reps slots: {len(self.rep_hashes)}\n")
+            w(f"  sketch_by_file:   "
+              f"{'yes' if self.sketch_by_file else 'no'}\n")
+            w(f"  Total members N:  {total}\n")
+            bits = "64-bit" if self.use64 else "32-bit"
+            w(f"  Inverted index:   {len(self.inverted_index)} unique "
+              f"hashes ({bits})\n")
+            self._print_cluster_size_histogram(w)
+            w("==========================================\n")
         else:
-            w(f"  Sketch size:            {self.sketch_size}\n")
-            w(f"  Containment:            {self.is_containment}\n")
-        w("\n[Scale]\n")
-        w(f"  Representatives:        {len(self.rep_hashes)}\n")
-        w(f"  Total members:          {total}\n")
-        w(f"  Inverted index hashes:  {len(self.inverted_index)}\n\n")
-        w("[Cluster Size Distribution]\n")
-        if sizes:
-            w(f"  Largest cluster:        {sizes[0]}\n")
-            w(f"  Smallest cluster:       {sizes[-1]}\n")
-            w(f"  Median cluster size:    {sizes[len(sizes) // 2]}\n")
-            w(f"  Singleton clusters:     {sum(1 for s in sizes if s == 1)}\n")
+            w("========== MinHash MST RepDB stats ==========\n")
+            w(f"  Kmer size:        {self.kmer_size}\n")
+            w(f"  Sketch size:      {self.sketch_size}\n")
+            w(f"  Containment:      "
+              f"{'yes' if self.is_containment else 'no'}\n")
+            if self.is_containment:
+                w(f"  Contain compress: {self.contain_compress}\n")
+            w(f"  Threshold:        {self.threshold:.6f}\n")
+            w(f"  Total reps slots: {len(self.rep_hashes)}\n")
+            w(f"  sketch_by_file:   "
+              f"{'yes' if self.sketch_by_file else 'no'}\n")
+            w(f"  Total members N:  {total}\n")
+            w(f"  Inverted index:   {len(self.inverted_index)} unique "
+              f"hashes\n")
+            self._print_cluster_size_histogram(w)
+            w("==============================================\n")
 
     # ---- output ----------------------------------------------------------
 

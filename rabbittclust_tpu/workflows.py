@@ -437,12 +437,18 @@ def append_clust_mst_fast(folder_path: str, input_file: str,
     res = _compute_mst_engine(ss, threshold, p.kmer_size, is_containment,
                               opts, start_index=pre_n if pre_mst else 0,
                               pre_edges=pre_mst)
+    # the merged artifacts go into a NEW run folder — the source folder is
+    # never mutated (reference append_clust_mst_fast writes
+    # new_folder_path, sub_command.cpp:1450-1470)
+    out_folder = folder_path
     if not opts.no_save:
-        sketch_io.save_kssd_sketches(ss, p, folder_path)
-        sketch_io.save_kssd_index(ss.hashes, ss.use64, folder_path)
-        sketch_io.save_genome_info(ss, folder_path, "mst", kssd=True)
-        sketch_io.save_mst(res.mst, folder_path)
-    return _mst_outputs(ss, res, threshold, output_file, opts, folder_path)
+        out_folder = sketch_io.default_folder_path()
+        sketch_io.ensure_folder(out_folder)
+        sketch_io.save_kssd_sketches(ss, p, out_folder)
+        sketch_io.save_kssd_index(ss.hashes, ss.use64, out_folder)
+        sketch_io.save_genome_info(ss, out_folder, "mst", kssd=True)
+        sketch_io.save_mst(res.mst, out_folder)
+    return _mst_outputs(ss, res, threshold, output_file, opts, out_folder)
 
 
 def append_clust_greedy_fast(folder_path: str, input_file: str,
@@ -452,35 +458,50 @@ def append_clust_greedy_fast(folder_path: str, input_file: str,
     """Greedy append: incremental clustering against saved state."""
     from .state.greedy_state import KssdClusterState
     state_file = os.path.join(folder_path, "cluster_state.bin")
-    if os.path.exists(state_file):
-        st = KssdClusterState.load(state_file)
-        p = st.params
+
+    def sketch_new(p):
         if sketch_by_file:
             files = read_file_list(input_file)
-            new_ss, _ = sketch_files_kssd(files, min_len, p.kmer_size,
-                                          p.drlevel, threads)
-        else:
-            new_ss, _ = sketch_sequences_kssd(input_file, min_len,
-                                              p.kmer_size, p.drlevel, threads)
+            return sketch_files_kssd(files, min_len, p.kmer_size, p.drlevel,
+                                     threads)[0]
+        return sketch_sequences_kssd(input_file, min_len, p.kmer_size,
+                                     p.drlevel, threads)[0]
+
+    if os.path.exists(state_file):
+        st = KssdClusterState.load(state_file)
+        new_ss = sketch_new(st.params)
+        if not opts.no_save:  # new-genome sketches get their own run folder
+            nf = sketch_io.default_folder_path()
+            sketch_io.ensure_folder(nf)
+            sketch_io.save_kssd_sketches(new_ss, st.params, nf)
         st.incremental_cluster(new_ss)
         st.write_cluster_result(output_file)
-        if not opts.no_save:
+        # state re-saved only when --save-rep is given on the append run
+        # (reference: if (!no_save && save_rep_index), sub_command.cpp)
+        if not opts.no_save and opts.save_rep:
             st.save(state_file)
         return st.clusters, None
-    # classic path: full re-cluster over merged sketches
+    # no saved state: build it from the pre-sketched genomes, then append
+    # incrementally — the reference's greedy --fast append ALWAYS uses the
+    # state machine (KssdInitialClusterWithState + KssdIncrementalCluster),
+    # never a full merged re-cluster
     ss, p = sketch_io.load_kssd_sketches(folder_path)
-    if sketch_by_file:
-        files = read_file_list(input_file)
-        new_ss, _ = sketch_files_kssd(files, min_len, p.kmer_size, p.drlevel,
-                                      threads)
-    else:
-        new_ss, _ = sketch_sequences_kssd(input_file, min_len, p.kmer_size,
-                                          p.drlevel, threads)
-    ss.extend(new_ss)
+    new_ss = sketch_new(p)
     if not opts.no_save:
-        sketch_io.save_kssd_sketches(ss, p, folder_path)
-    return compute_kssd_clusters(ss, p, threshold, threads, output_file,
-                                 False, opts, folder_path, "greedy")
+        nf = sketch_io.default_folder_path()
+        sketch_io.ensure_folder(nf)
+        sketch_io.save_kssd_sketches(new_ss, p, nf)
+    order = ss.sort_by_size_desc()
+    ss2 = ss.reorder(order)
+    gres = greedy_cluster(ss2.hashes, threshold, p.kmer_size, presorted=True)
+    st = KssdClusterState.from_clustering(ss2, p, gres, threshold)
+    if not opts.no_save and opts.save_rep:
+        st.save(state_file)
+    st.incremental_cluster(new_ss)
+    if not opts.no_save and opts.save_rep:
+        st.save(state_file)
+    st.write_cluster_result(output_file)
+    return st.clusters, None
 
 
 # ---------------------------------------------------------------------------
@@ -532,6 +553,11 @@ def compute_minhash_clusters(ss: SketchSet, p: MinHashParams,
                                   progress=True)
         write_cluster_file(output_file, gres.clusters, ss2)
         log(f"-----the number of clusters is: {len(gres.clusters)}")
+        if opts.save_rep and folder and not opts.no_save:
+            from .state.greedy_state import MinHashClusterState
+            st = MinHashClusterState.from_clustering(ss2, p, gres, threshold)
+            sketch_io.ensure_folder(folder)
+            st.save(os.path.join(folder, "cluster_state.bin"))
         return gres.clusters, ss2
     res = _compute_mst_engine(ss, threshold, p.kmer_size, p.is_containment,
                               opts)

@@ -464,3 +464,112 @@ def test_builddb_byte_identical(oracle, genomes, tmp_path):
     run_ours("clust_mst", ["--fast", "-i", str(tmp_path / "x1.cluster"),
                            "--buildDB", "ourdb3", "-l"], str(our_d))
     assert os.path.exists(str(our_d / "ourdb3" / "kssd.hash.sketch"))
+
+
+def test_repdb_assign_stats_append_byte_identical(oracle, genomes, tmp_path):
+    """RepDB --assign TSVs, --stats reports, and --append growth
+    (greedy REPDB002 flavor) are byte-identical cross-tool."""
+    init_list = tmp_path / "init.list"
+    app_list = tmp_path / "app.list"
+    init_list.write_text("\n".join(genomes.files[:8]) + "\n")
+    app_list.write_text("\n".join(genomes.files[8:]) + "\n")
+    d = str(tmp_path)
+    run_ref(oracle, "greedy", ["--fast", "--db", "r.db", "--build",
+                               "-i", str(init_list), "-l", "-d", "0.05",
+                               "-o", "rb.cluster"], d)
+    run_ours("clust_greedy", ["--fast", "--db", "o.db", "--build",
+                              "-i", str(init_list), "-l", "-d", "0.05",
+                              "-o", "ob.cluster"], d)
+    # --assign cross-tool: our CLI on the reference's DB and vice versa
+    run_ours("clust_greedy", ["--fast", "--db", "r.db", "--assign",
+                              "-i", str(app_list), "-l",
+                              "-o", "a1.tsv"], d)
+    run_ref(oracle, "greedy", ["--fast", "--db", "o.db", "--assign",
+                               "-i", str(app_list), "-l",
+                               "-o", "a2.tsv"], d)
+    assert same_bytes(os.path.join(d, "a1.tsv"), os.path.join(d, "a2.tsv"))
+    # --stats report (stdout) cross-tool
+    r1 = subprocess.run([oracle["greedy"], "--fast", "--db", "o.db",
+                         "--stats", "-t", "1"], cwd=d, capture_output=True,
+                        text=True)
+    assert r1.returncode == 0, r1.stderr[-500:]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    r2 = subprocess.run([sys.executable, "-m",
+                         "rabbittclust_tpu.cli.clust_greedy", "--fast",
+                         "--db", "r.db", "--stats"], cwd=d,
+                        capture_output=True, text=True, env=env)
+    assert r2.returncode == 0, r2.stderr[-500:]
+    assert r1.stdout == r2.stdout
+    # --append on the DB, then identical --query results cross-tool
+    run_ref(oracle, "greedy", ["--fast", "--db", "r.db", "--append",
+                               str(app_list), "-l", "-o", "ra.cluster"], d)
+    run_ours("clust_greedy", ["--fast", "--db", "o.db", "--append",
+                              str(app_list), "-l", "-o", "oa.cluster"], d)
+    run_ours("clust_greedy", ["--fast", "--db", "r.db", "--query",
+                              "-i", str(init_list), "-l",
+                              "-o", "q1.tsv", "--top-k", "2"], d)
+    run_ref(oracle, "greedy", ["--fast", "--db", "o.db", "--query",
+                               "-i", str(init_list), "-l",
+                               "-o", "q2.tsv", "--top-k", "2"], d)
+    assert same_bytes(os.path.join(d, "q1.tsv"), os.path.join(d, "q2.tsv"))
+
+
+def test_minhash_state_and_repdb_interop(oracle, genomes, tmp_path):
+    """MinHash (no --fast) persistence interop: full cluster state
+    (MINHASH magic) --save-rep + --append cross-tool, MHREPDB1 databases
+    readable by both sides with identical --stats and --query outputs."""
+    init_list = tmp_path / "init.list"
+    app_list = tmp_path / "app.list"
+    init_list.write_text("\n".join(genomes.files[:8]) + "\n")
+    app_list.write_text("\n".join(genomes.files[8:]) + "\n")
+    d = str(tmp_path)
+    mh = ["-k", "21", "-s", "300"]
+    # full-state append: reference builds the state, OUR CLI appends to it
+    ref_d = tmp_path / "ref"
+    our_d = tmp_path / "our"
+    ref_d.mkdir()
+    our_d.mkdir()
+    run_ref(oracle, "greedy", ["-l", "-i", str(init_list), "-o",
+                               "r0.cluster", "-d", "0.05", *mh,
+                               "--save-rep"], str(ref_d))
+    rf = _run_folder(str(ref_d))
+    time.sleep(1.1)
+    run_ours("clust_greedy", ["-l", "-i", str(init_list), "-o", "o0.cluster",
+                              "-d", "0.05", *mh, "--save-rep"], str(our_d))
+    of = _run_folder(str(our_d))
+    # cross-append: each tool appends using the OTHER tool's state folder
+    run_ours("clust_greedy", ["--presketched", rf, "--append",
+                              str(app_list), "-l", "-o", "x1.cluster",
+                              "-d", "0.05", *mh], d)
+    run_ref(oracle, "greedy", ["--presketched", of, "--append",
+                               str(app_list), "-l", "-o", "x2.cluster",
+                               "-d", "0.05", *mh], d)
+    assert same_bytes(os.path.join(d, "x1.cluster"),
+                      os.path.join(d, "x2.cluster"))
+    # MHREPDB1: build on each side, cross --stats and --query
+    run_ref(oracle, "greedy", ["--db", "r.db", "--build", "-i",
+                               str(init_list), "-l", "-d", "0.05", *mh,
+                               "-o", "rb.cluster"], d)
+    run_ours("clust_greedy", ["--db", "o.db", "--build", "-i",
+                              str(init_list), "-l", "-d", "0.05", *mh,
+                              "-o", "ob.cluster"], d)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    s1 = subprocess.run([oracle["greedy"], "--db", "o.db", "--stats",
+                         "-t", "1"], cwd=d, capture_output=True, text=True)
+    s2 = subprocess.run([sys.executable, "-m",
+                         "rabbittclust_tpu.cli.clust_greedy", "--db", "r.db",
+                         "--stats"], cwd=d, capture_output=True, text=True,
+                        env=env)
+    assert s1.returncode == 0 and s2.returncode == 0
+    assert s1.stdout == s2.stdout
+    run_ours("clust_greedy", ["--db", "r.db", "--query", "-i",
+                              str(app_list), "-l", "-o", "q1.tsv",
+                              "--top-k", "3"], d)
+    run_ref(oracle, "greedy", ["--db", "o.db", "--query", "-i",
+                               str(app_list), "-l", "-o", "q2.tsv",
+                               "--top-k", "3"], d)
+    assert same_bytes(os.path.join(d, "q1.tsv"), os.path.join(d, "q2.tsv"))

@@ -53,7 +53,16 @@ def test_minhash_incremental(tmp_path, synthetic_genomes):
     st = MinHashClusterState.from_clustering(bs, p, gres, 0.05)
     st.incremental_cluster(extra)
     idmap = [int(order[i]) for i in range(k)] + list(range(k, len(ss)))
-    clusters = [[idmap[g] for g in cl] for cl in st.clusters]
+    # reference quirk (replicated): clusters created during the incremental
+    # pass exclude their representative — add it back for the partition
+    # check
+    clusters = []
+    for ci, cl in enumerate(st.clusters):
+        members = [idmap[g] for g in cl]
+        rep = idmap[st.representative_ids[ci]]
+        if rep not in members:
+            members = [rep] + members
+        clusters.append(members)
     labels = clusters_to_labels(clusters, len(ss))
     assert same_partition(labels, synthetic_genomes.labels)
 
