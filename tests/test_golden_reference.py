@@ -399,7 +399,8 @@ def test_dbscan_byte_identical(oracle, genomes, tmp_path):
     """clust-dbscan: plain, noise-producing minPts, and --knn mode."""
     for suffix, extra in (("a", ["--minpts", "3"]),
                           ("b", ["--minpts", "5"]),
-                          ("c", ["--minpts", "3", "--knn", "5"])):
+                          ("c", ["--minpts", "3", "--knn", "5"]),
+                          ("d", ["--minpts", "3", "--max-posting", "4"])):
         ref_d = tmp_path / f"ref{suffix}"
         our_d = tmp_path / f"our{suffix}"
         ref_d.mkdir()
