@@ -199,3 +199,55 @@ def test_minhash_sketch_roundtrip(tmp_path, synthetic_genomes):
         assert np.array_equal(a, b)
     params = sketch_io.read_sketch_parameters(folder)
     assert params["sketch_func_id"] == 0 and params["kmer_size"] == 21
+
+
+def test_classic_append_preserves_source_folder(tmp_path, synthetic_genomes):
+    """Classic append (no saved state) writes combined artifacts to a NEW
+    timestamped run folder; the presketched source folder is never mutated
+    (reference append_clust_mst_fast, sub_command.cpp:1450-1470)."""
+    import hashlib
+    import os
+    import subprocess
+    import sys
+    import time
+
+    files = synthetic_genomes.files
+    init_list = tmp_path / "init.list"
+    app_list = tmp_path / "app.list"
+    init_list.write_text("\n".join(files[:8]) + "\n")
+    app_list.write_text("\n".join(files[8:]) + "\n")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+
+    def run(module, args, cwd):
+        r = subprocess.run([sys.executable, "-m",
+                            f"rabbittclust_tpu.cli.{module}", *args],
+                           cwd=cwd, capture_output=True, text=True,
+                           env=env)
+        assert r.returncode == 0, r.stderr[-800:]
+
+    def folder_digest(d):
+        out = {}
+        for f in sorted(os.listdir(d)):
+            with open(os.path.join(d, f), "rb") as fh:
+                out[f] = hashlib.sha256(fh.read()).hexdigest()
+        return out
+
+    for module in ("clust_mst", "clust_greedy"):
+        work = tmp_path / module
+        work.mkdir()
+        run(module, ["--fast", "-l", "-i", str(init_list),
+                     "-o", str(work / "a.cluster"), "-d", "0.05"], work)
+        runs = [x for x in os.listdir(work) if x.startswith("20")]
+        assert len(runs) == 1
+        src = work / runs[0]
+        before = folder_digest(src)
+        time.sleep(1.1)  # distinct timestamp for the append's new folder
+        run(module, ["--fast", "--presketched", str(src), "--append",
+                     str(app_list), "-l", "-o", str(work / "b.cluster"),
+                     "-d", "0.05"], work)
+        assert folder_digest(src) == before, module
+        # a new run folder with the new/combined sketches exists
+        runs_after = [x for x in os.listdir(work) if x.startswith("20")]
+        assert len(runs_after) == 2, module
