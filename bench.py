@@ -74,9 +74,9 @@ def measure_filter_compute(hashes, threshold, kmer_size, reps=8):
     sd = jax.device_put(jnp.asarray(sizes))
     cap = max(1 << 20, n_pad * n_pad // 64)
     filt = bm._jitted_filter()
-    args = (xd, xd, cd, cd, sd, sd, jnp.int32(0), jnp.float32(j_min),
-            jnp.float32(1 + j_min), jnp.float32(c_min), jnp.int32(radio),
-            False, cap)
+    args = (xd, xd, cd, cd, sd, sd, jnp.int32(0), jnp.int32(0),
+            jnp.float32(j_min), jnp.float32(1 + j_min), jnp.float32(c_min),
+            jnp.int32(radio), False, cap)
     filt(*args).block_until_ready()  # warm
     t0 = time.perf_counter()
     out = None

@@ -24,6 +24,7 @@ from __future__ import annotations
 import ctypes
 import functools
 import math
+import os
 from typing import List, Tuple
 
 import numpy as np
@@ -90,14 +91,14 @@ def _unpack_bits_device(xp):
     return bits.reshape(xp.shape[0], -1).astype(jnp.int8)
 
 
-def _filter_block_fn(xi, x, ci, c, si, s, row_start, jmin_num, jmin_den,
-                     c_min, radio, is_containment, cap):
-    """Device: shared-bit counts + safe candidate mask for one row block.
+def _filter_block_fn(xi, x, ci, c, si, s, row_start, col_start, jmin_num,
+                     jmin_den, c_min, radio, is_containment, cap):
+    """Device: shared-bit counts + safe candidate mask for one pair tile
+    (rows [row_start, row_start+gi) x columns [col_start, col_start+gj)).
 
     ``xi``/``x`` are bit-packed uint8 signatures (transferred 8x smaller and
-    unpacked on device).  Returns (flat candidate indices padded with -1,
-    shared-bit values, true candidate count); the index of pair
-    (local_i, j) is local_i * N + j."""
+    unpacked on device).  Returns one fused int32 array
+    [count, flat_idx(cap)] where flat = local_i * gj + local_j."""
     import jax
     import jax.numpy as jnp
 
@@ -120,9 +121,9 @@ def _filter_block_fn(xi, x, ci, c, si, s, row_start, jmin_num, jmin_den,
     mni = jnp.minimum(si[:, None], s[None, :])
     mxi = jnp.maximum(si[:, None], s[None, :])
     ratio_ok = (mni > 0) & (mxi <= radio * mni)
-    gi, n = shared.shape
-    jidx = jax.lax.broadcasted_iota(jnp.int32, (gi, n), 1)
-    iidx = jax.lax.broadcasted_iota(jnp.int32, (gi, n), 0) + row_start
+    gi, gj = shared.shape
+    jidx = jax.lax.broadcasted_iota(jnp.int32, (gi, gj), 1) + col_start
+    iidx = jax.lax.broadcasted_iota(jnp.int32, (gi, gj), 0) + row_start
     mask = (shared >= thresh) & ratio_ok & (jidx < iidx)
     # device-side compaction, one fused minimal int32 result
     # [count, flat_idx(cap)].  The remote tunnel charges ~0.6 s latency per
@@ -175,37 +176,94 @@ def candidate_pair_blocks(
     cd = jnp.asarray(coll)
     sd = jnp.asarray(sizes)
     filt = _jitted_filter()
-    # compaction buffer sized for <=1.5% pair density (covers heavily
-    # clustered data); a grown cap persists across row blocks (every
-    # distinct cap is a fresh ~4 min remote compile on the tunnel, cached
-    # persistently afterwards)
-    cur_cap = max(1 << 20, (min(row_block, n_pad) * n_pad) // 64)
+    # compaction buffer sized for <=3% pair density of one tile (covers
+    # heavily clustered data; with two-step pulls a larger cap costs device
+    # memory only, never pull bandwidth); a grown cap persists across tiles
+    # (every distinct cap is a fresh ~4 min remote compile on the tunnel,
+    # cached persistently afterwards)
+    cur_cap = max(1 << 20, min(row_block, n_pad) ** 2 // 32)
+    full_pull = bool(int(os.environ.get("RTC_FULL_PULL", "0")))
 
-    def dispatch(r0, gi, cap):
-        return filt(
-            xd[r0:r0 + gi], xd, cd[r0:r0 + gi], cd, sd[r0:r0 + gi], sd,
-            jnp.int32(r0), jnp.float32(j_min), jnp.float32(1.0 + j_min),
-            jnp.float32(c_min), jnp.int32(radio), is_containment, cap)
+    def dispatch(r0, gi, c0, gj, cap):
+        fused = filt(
+            xd[r0:r0 + gi], xd[c0:c0 + gj], cd[r0:r0 + gi], cd[c0:c0 + gj],
+            sd[r0:r0 + gi], sd[c0:c0 + gj],
+            jnp.int32(r0), jnp.int32(c0), jnp.float32(j_min),
+            jnp.float32(1.0 + j_min), jnp.float32(c_min), jnp.int32(radio),
+            is_containment, cap)
+        # start the 4-byte count transfer as soon as the filter completes on
+        # device, so by the time the host needs it (after verifying the
+        # previous tile) it has usually already landed
+        cnt = fused[:1]
+        if not full_pull:
+            try:
+                cnt.copy_to_host_async()
+            except Exception:
+                pass
+        return fused, cnt
 
-    blocks = [(r0, min(row_block, n_pad - r0))
-              for r0 in range(0, n_pad, row_block)]
-    pending = dispatch(*blocks[0], cur_cap) if blocks else None
-    for b, (r0, gi) in enumerate(blocks):
-        fut = pending
-        if b + 1 < len(blocks):  # prefetch before blocking on this block
-            pending = dispatch(*blocks[b + 1], cur_cap)
-        fused = np.asarray(fut)
-        count = int(fused[0])
-        while count > cur_cap:
-            cur_cap *= 4  # rare: recompile with a larger compaction buffer
-            fused = np.asarray(dispatch(r0, gi, cur_cap))
+    # square triangular tiling: only pairs j < i survive the mask, so row
+    # panel [r0, r0+gi) needs columns [0, r0+gi) only — chunked into
+    # row_block-wide tiles.  Exactly halves the MXU FLOPs vs full panels
+    # (the filter is the measured bottleneck at N >= 16k) and, crucially,
+    # every interior tile shares ONE compiled shape (row_block, row_block)
+    # independent of N, so new dataset sizes skip the ~4-9 min remote
+    # compile of the main kernel.
+    tiles = []
+    for r0 in range(0, n_pad, row_block):
+        gi = min(row_block, n_pad - r0)
+        for c0 in range(0, r0 + gi, row_block):
+            tiles.append((r0, gi, c0, min(row_block, n_pad - c0)))
+
+    pending = dispatch(*tiles[0], cur_cap) if tiles else None
+    for t, (r0, gi, c0, gj) in enumerate(tiles):
+        fused_dev, cnt_dev = pending
+        if full_pull:
+            # legacy single-pull path (A/B benchmarking): pull the whole
+            # cap-sized compacted buffer in one RPC
+            if t + 1 < len(tiles):
+                pending = dispatch(*tiles[t + 1], cur_cap)
+            fused = np.asarray(fused_dev)
             count = int(fused[0])
-        if count:
+            while count > cur_cap:
+                cur_cap *= 4
+                fused = np.asarray(dispatch(r0, gi, c0, gj, cur_cap)[0])
+                count = int(fused[0])
             idx = fused[1:1 + count].astype(np.int64)
-            ii = idx // n_pad + r0
-            jj = idx % n_pad
+        else:
+            # two-step count+slice pull: the full cap-sized buffer stays on
+            # device; only a quantized prefix of the ACTUAL candidates moves
+            # over the (slow, high-latency) link.  Pull bytes drop from
+            # 4*cap (4-17 MB/tile, growing with N^2) to ~4*count.
+            count = int(np.asarray(cnt_dev)[0])
+            while count > cur_cap:
+                cur_cap *= 4  # rare: recompile with a larger buffer
+                fused_dev, cnt_dev = dispatch(r0, gi, c0, gj, cur_cap)
+                count = int(np.asarray(cnt_dev)[0])
+            # quantized prefix slice (few distinct shapes -> few tiny
+            # compiles), dispatched BEFORE the next tile's filter so it
+            # runs immediately and its pull overlaps that filter's compute
+            prefix_dev = fused_dev[1:1 + _pull_quantum(count, cur_cap)] \
+                if count else None
+            if t + 1 < len(tiles):
+                pending = dispatch(*tiles[t + 1], cur_cap)
+            idx = (np.asarray(prefix_dev)[:count].astype(np.int64)
+                   if count else None)
+        if count:
+            ii = idx // gj + r0
+            jj = idx % gj + c0
             keep = ii < n  # drop padded rows
             yield ii[keep], jj[keep]
+
+
+def _pull_quantum(count: int, cap: int) -> int:
+    """Smallest slice length >= count from a short ladder of sizes (16K,
+    64K, 256K, ... 4x steps, capped at ``cap``) so the number of distinct
+    slice shapes — each a tiny one-off compile — stays O(log cap)."""
+    k = 1 << 14
+    while k < count:
+        k *= 4
+    return min(k, cap)
 
 
 def candidate_pairs_threshold(

@@ -65,7 +65,14 @@ def compute_mst_device(
 
     def dispatch(i0):
         gi = min(row_tile, n_pad - i0)
-        return pair_counts_row(packed.row_block(i0, gi), packed,
+        # triangular column trim: only pairs j < i are kept, so this row
+        # panel needs columns [0, i0+gi) only — padded to a power of two
+        # (multiple of col_tile) to keep compiled shapes logarithmic in N.
+        # Halves both the device compute and the dominant (gi x N) int32
+        # count pulls across the run.
+        nc = min(n_pad, max(col_tile, 1 << (i0 + gi - 1).bit_length()))
+        return pair_counts_row(packed.row_block(i0, gi),
+                               packed.row_block(0, nc),
                                gj_tile=col_tile, backend=backend)
 
     from ..utils.profiling import maybe_trace

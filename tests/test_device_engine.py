@@ -317,3 +317,37 @@ def test_distributed_threshold_clusters(synthetic_genomes):
     res = compute_mst(ss.hashes, 0.05, p.kmer_size)
     ch = clusters_from_forest(cut_forest(res.mst, 0.05), len(ss))
     assert cd == ch
+
+
+def test_pull_modes_and_column_trim_equivalent(monkeypatch):
+    """Two-step count+slice pulls and the legacy full-buffer pull must yield
+    identical candidate blocks; the triangular column trim must never drop a
+    pair (multi-block input exercises every nc ladder step)."""
+    from rabbittclust_tpu.ops.bitmap import candidate_pair_blocks
+    rng = np.random.default_rng(11)
+    base = np.unique(rng.integers(0, 2 ** 28, size=250).astype(np.uint32))
+    hashes = []
+    for i in range(400):
+        keep = base[rng.random(len(base)) < 0.7]
+        extra = np.unique(rng.integers(0, 2 ** 28, size=90).astype(np.uint32))
+        hashes.append(np.unique(np.concatenate([keep, extra])))
+
+    def collect():
+        return [(ii.tolist(), jj.tolist()) for ii, jj in
+                candidate_pair_blocks(hashes, 0.05, 21, bits=2048,
+                                      row_block=96)]
+
+    monkeypatch.delenv("RTC_FULL_PULL", raising=False)
+    two_step = collect()
+    monkeypatch.setenv("RTC_FULL_PULL", "1")
+    full = collect()
+    assert two_step == full
+    assert sum(len(b[0]) for b in two_step) > 0
+
+
+def test_pull_quantum_ladder():
+    from rabbittclust_tpu.ops.bitmap import _pull_quantum
+    assert _pull_quantum(0, 1 << 20) == 1 << 14
+    assert _pull_quantum(1 << 14, 1 << 20) == 1 << 14
+    assert _pull_quantum((1 << 14) + 1, 1 << 20) == 1 << 16
+    assert _pull_quantum(1 << 21, 1 << 20) == 1 << 20  # capped
