@@ -200,7 +200,7 @@ def candidate_pair_blocks(
                 cnt.copy_to_host_async()
             except Exception:
                 pass
-        return fused, cnt
+        return fused, cnt, cap
 
     # square triangular tiling: only pairs j < i survive the mask, so row
     # panel [r0, r0+gi) needs columns [0, r0+gi) only — chunked into
@@ -217,7 +217,7 @@ def candidate_pair_blocks(
 
     pending = dispatch(*tiles[0], cur_cap) if tiles else None
     for t, (r0, gi, c0, gj) in enumerate(tiles):
-        fused_dev, cnt_dev = pending
+        fused_dev, cnt_dev, used_cap = pending
         if full_pull:
             # legacy single-pull path (A/B benchmarking): pull the whole
             # cap-sized compacted buffer in one RPC
@@ -225,8 +225,12 @@ def candidate_pair_blocks(
                 pending = dispatch(*tiles[t + 1], cur_cap)
             fused = np.asarray(fused_dev)
             count = int(fused[0])
-            while count > cur_cap:
-                cur_cap *= 4
+            # compare against the cap THIS buffer was dispatched with (the
+            # prefetch may predate a growth), else an overflowing count
+            # would silently slice past the buffer and drop candidates
+            while count > used_cap:
+                cur_cap = max(cur_cap, used_cap * 4)
+                used_cap = cur_cap
                 fused = np.asarray(dispatch(r0, gi, c0, gj, cur_cap)[0])
                 count = int(fused[0])
             idx = fused[1:1 + count].astype(np.int64)
@@ -234,16 +238,18 @@ def candidate_pair_blocks(
             # two-step count+slice pull: the full cap-sized buffer stays on
             # device; only a quantized prefix of the ACTUAL candidates moves
             # over the (slow, high-latency) link.  Pull bytes drop from
-            # 4*cap (4-17 MB/tile, growing with N^2) to ~4*count.
+            # 4*cap (4-17 MB/tile, growing with N^2) to
+            # ~4*quantum(count) (16K-element floor, 4x ladder).
             count = int(np.asarray(cnt_dev)[0])
-            while count > cur_cap:
-                cur_cap *= 4  # rare: recompile with a larger buffer
-                fused_dev, cnt_dev = dispatch(r0, gi, c0, gj, cur_cap)
+            while count > used_cap:
+                cur_cap = max(cur_cap, used_cap * 4)
+                used_cap = cur_cap  # rare: recompile with a larger buffer
+                fused_dev, cnt_dev, _ = dispatch(r0, gi, c0, gj, cur_cap)
                 count = int(np.asarray(cnt_dev)[0])
             # quantized prefix slice (few distinct shapes -> few tiny
             # compiles), dispatched BEFORE the next tile's filter so it
             # runs immediately and its pull overlaps that filter's compute
-            prefix_dev = fused_dev[1:1 + _pull_quantum(count, cur_cap)] \
+            prefix_dev = fused_dev[1:1 + _pull_quantum(count, used_cap)] \
                 if count else None
             if t + 1 < len(tiles):
                 pending = dispatch(*tiles[t + 1], cur_cap)

@@ -70,7 +70,8 @@ def compute_mst_device(
         # (multiple of col_tile) to keep compiled shapes logarithmic in N.
         # Halves both the device compute and the dominant (gi x N) int32
         # count pulls across the run.
-        nc = min(n_pad, max(col_tile, 1 << (i0 + gi - 1).bit_length()))
+        pow2 = 1 << (i0 + gi - 1).bit_length()
+        nc = min(n_pad, max(col_tile, -(-pow2 // col_tile) * col_tile))
         return pair_counts_row(packed.row_block(i0, gi),
                                packed.row_block(0, nc),
                                gj_tile=col_tile, backend=backend)
