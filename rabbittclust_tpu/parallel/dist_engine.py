@@ -51,6 +51,29 @@ def _counts_block(a0, b0, a1=None, b1=None):
     return acc
 
 
+def _n_ring_steps(n_dev: int) -> int:
+    """Triangular ring schedule length: floor(n_dev/2) + 1 steps instead of
+    n_dev.  At step t every device compares its resident rows against shard
+    (d - t) mod n_dev; the unordered shard pair {a, b} with
+    (a - b) mod n_dev = t <= n_dev/2 is visited only by device a, so steps
+    t in [1, ceil(n_dev/2)) run FULL tiles with no ownership discard.  Only
+    the self tile (t=0) and, for even n_dev, the antipodal tile
+    (t = n_dev/2, computed by both endpoints) need the global i > j mask.
+    Halves the ring's device FLOPs vs the n_dev-step schedule whose i > j
+    mask threw away ~50% of every tile."""
+    return n_dev // 2 + 1
+
+
+def _ownership_mask(t, n_dev, row_ids, vis_ids):
+    """Per-step pair-ownership mask for the triangular schedule (see
+    _n_ring_steps): full tile on interior steps, global i > j on the self
+    and (even n_dev) antipodal steps."""
+    import jax.numpy as jnp
+
+    shared_step = (t == 0) | ((n_dev % 2 == 0) & (t == n_dev // 2))
+    return (row_ids[:, None] > vis_ids[None, :]) | ~shared_step
+
+
 def build_ring_fn(threshold: float, kmer_size: int, radio: int):
     """Returns a shard_map-able function: local row shard + ring rotation ->
     (local candidate-edge count, local min distance, thresholded counts)."""
@@ -64,7 +87,6 @@ def build_ring_fn(threshold: float, kmer_size: int, radio: int):
         row_ids: (L,) global genome ids of local rows.
         """
         n_dev = jax.lax.axis_size("data")
-        my = jax.lax.axis_index("data")
 
         def step(t, carry):
             visiting0, vis_sizes, vis_ids, n_cand, min_d = carry
@@ -74,8 +96,8 @@ def build_ring_fn(threshold: float, kmer_size: int, radio: int):
             mn = jnp.minimum(s0, s1)
             mx = jnp.maximum(s0, s1)
             ok = (counts > 0) & (mn > 0) & (mx <= radio * mn)
-            # pair ownership: only i > j to count each pair once globally
-            ok &= row_ids[:, None] > vis_ids[None, :]
+            # triangular schedule: each unordered pair lands on one device
+            ok &= _ownership_mask(t, n_dev, row_ids, vis_ids)
             common = counts.astype(jnp.float32)
             denom = s0 + s1 - common
             j = jnp.where(denom > 0, common / jnp.maximum(denom, 1.0), 0.0)
@@ -95,7 +117,8 @@ def build_ring_fn(threshold: float, kmer_size: int, radio: int):
             return visiting0, vis_sizes, vis_ids, n_cand, min_d
 
         init = (rows0, sizes, row_ids, jnp.int32(0), jnp.float32(1.0))
-        _, _, _, n_cand, min_d = jax.lax.fori_loop(0, n_dev, step, init)
+        _, _, _, n_cand, min_d = jax.lax.fori_loop(
+            0, _n_ring_steps(n_dev), step, init)
         total = jax.lax.psum(n_cand, "data")
         global_min = jax.lax.pmin(min_d, "data")
         return total, global_min
@@ -153,7 +176,7 @@ def build_ring_edges_fn(threshold: float, kmer_size: int, radio: int,
     def ring_fn(rows0, rows1, sizes, row_ids):
         n_dev = jax.lax.axis_size("data")
 
-        def step(carry, _):
+        def step(carry, t):
             visiting0, visiting1, vis_sizes, vis_ids = carry
             if two_plane:
                 counts = _counts_block(rows0, visiting0, rows1, visiting1)
@@ -164,7 +187,7 @@ def build_ring_edges_fn(threshold: float, kmer_size: int, radio: int,
             mn = jnp.minimum(s0, s1)
             mx = jnp.maximum(s0, s1)
             ok = (counts > 0) & (mn > 0) & (mx <= radio * mn)
-            ok &= row_ids[:, None] > vis_ids[None, :]
+            ok &= _ownership_mask(t, n_dev, row_ids, vis_ids)
             cnt = jnp.sum(ok, dtype=jnp.int32)
             (flat,) = jnp.nonzero(ok.reshape(-1), size=cap, fill_value=-1)
             flat = flat.astype(jnp.int32)
@@ -186,8 +209,10 @@ def build_ring_edges_fn(threshold: float, kmer_size: int, radio: int,
             return (visiting0, visiting1, vis_sizes, vis_ids), fused
 
         init = (rows0, rows1, sizes, row_ids)
-        _, out = jax.lax.scan(step, init, None, length=n_dev)
-        return out  # (n_dev_steps, 1 + 3*cap)
+        n_steps = _n_ring_steps(n_dev)
+        _, out = jax.lax.scan(step, init,
+                              jnp.arange(n_steps, dtype=jnp.int32))
+        return out  # (n_steps, 1 + 3*cap)
 
     return ring_fn
 
@@ -218,25 +243,30 @@ def distributed_candidate_edges(packed_plane0: np.ndarray,
     if radio is None:
         radio = size_ratio_limit(threshold, kmer_size - 1)
     two = packed_plane1 is not None
-    ring_fn = build_ring_edges_fn(threshold, kmer_size, radio, cap,
-                                  two_plane=two)
-    fn = jax.shard_map(ring_fn, mesh=mesh,
-                       in_specs=(P("data"), P("data"), P("data"), P("data")),
-                       out_specs=P("data"), check_vma=False)
     row_ids = np.arange(n, dtype=np.int32)
     plane1 = packed_plane1 if two else packed_plane0[:, :1, :1]
-    out = np.asarray(jax.jit(fn)(
-        jnp.asarray(packed_plane0),
-        jnp.asarray(plane1),
-        jnp.asarray(sizes.astype(np.int32)),
-        jnp.asarray(row_ids)))
-    # out: (n_dev * n_steps, 1 + 3*cap); decode every block
+    args = (jnp.asarray(packed_plane0), jnp.asarray(plane1),
+            jnp.asarray(sizes.astype(np.int32)), jnp.asarray(row_ids))
+    while True:
+        ring_fn = build_ring_edges_fn(threshold, kmer_size, radio, cap,
+                                      two_plane=two)
+        fn = jax.shard_map(
+            ring_fn, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P("data")),
+            out_specs=P("data"), check_vma=False)
+        out = np.asarray(jax.jit(fn)(*args))
+        # out: (n_dev * n_steps, 1 + 3*cap); decode every block
+        blocks = out.reshape(-1, 1 + 3 * cap)
+        max_cnt = int(blocks[:, 0].max()) if len(blocks) else 0
+        if max_cnt <= cap:
+            break
+        # auto-regrow (mirrors ops/bitmap.py): re-run the ring with a
+        # buffer big enough for the densest step
+        while cap < max_cnt:
+            cap *= 4
     ii_all, jj_all, cc_all = [], [], []
-    for block in out.reshape(-1, 1 + 3 * cap):
+    for block in blocks:
         cnt = int(block[0])
-        if cnt > cap:
-            raise RuntimeError(
-                f"ring edge buffer overflow ({cnt} > {cap}); raise cap")
         if cnt:
             ii_all.append(block[1:1 + cnt].astype(np.int64))
             jj_all.append(block[1 + cap:1 + cap + cnt].astype(np.int64))
@@ -248,17 +278,184 @@ def distributed_candidate_edges(packed_plane0: np.ndarray,
             np.concatenate(cc_all))
 
 
+def build_ring_bitmap_fn(cap: int, jmin_num: float, jmin_den: float,
+                         c_min: float, radio: int, is_containment: bool):
+    """shard_map-able MXU bitmap-filter ring — the distributed twin of
+    ops.bitmap._filter_block_fn.
+
+    Each device keeps its row shard's bit-packed signatures resident
+    (unpacked to int8 once) and rotates the visiting shard's PACKED uint8
+    signatures (+ collisions/sizes/ids) around the ring — 8x less ICI
+    traffic than int8; shared-bit counts come from ONE int8 matmul on the
+    MXU (bits MACs/pair) instead of the exact ring's O(W^2 K) bucket
+    compares (~8x more ops on the much slower VPU — a ~100x per-step FLOP
+    cost drop).  The same deterministic no-false-negative bound as the
+    single-chip filter (shared >= common_min - min(collisions)) gates the
+    candidates; survivors are verified exactly on the host."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops.bitmap import _unpack_bits_device
+
+    def ring_fn(xp, coll, sizes, row_ids):
+        n_dev = jax.lax.axis_size("data")
+        rows_bits = _unpack_bits_device(xp)  # resident rows, unpacked once
+
+        def step(carry, t):
+            vxp, vcoll, vsizes, vis_ids = carry
+            vbits = _unpack_bits_device(vxp)
+            shared = jax.lax.dot_general(
+                rows_bits, vbits, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            si_c = sizes[:, None].astype(jnp.float32)
+            s_c = vsizes[None, :].astype(jnp.float32)
+            # f32 bound with -1 safety margin: must never exceed the exact
+            # f64 ceil the host uses (see ops/bitmap.py:_filter_block_fn)
+            if is_containment:
+                common_min = jnp.floor(
+                    c_min * jnp.minimum(si_c, s_c)).astype(jnp.int32) - 1
+            else:
+                common_min = jnp.floor(
+                    jmin_num * (si_c + s_c) / jmin_den).astype(jnp.int32) - 1
+            thresh = common_min - jnp.minimum(coll[:, None], vcoll[None, :])
+            mni = jnp.minimum(sizes[:, None], vsizes[None, :])
+            mxi = jnp.maximum(sizes[:, None], vsizes[None, :])
+            ok = (shared >= thresh) & (mni > 0) & (mxi <= radio * mni)
+            ok &= _ownership_mask(t, n_dev, row_ids, vis_ids)
+            cnt = jnp.sum(ok, dtype=jnp.int32)
+            (flat,) = jnp.nonzero(ok.reshape(-1), size=cap, fill_value=-1)
+            flat = flat.astype(jnp.int32)
+            li = flat // ok.shape[1]
+            vj = flat % ok.shape[1]
+            gid_i = jnp.where(flat >= 0, jnp.take(row_ids, li), -1)
+            gid_j = jnp.where(flat >= 0, jnp.take(vis_ids, vj), -1)
+            perm = [(k, (k + 1) % n_dev) for k in range(n_dev)]
+            vxp = jax.lax.ppermute(vxp, "data", perm)
+            vcoll = jax.lax.ppermute(vcoll, "data", perm)
+            vsizes = jax.lax.ppermute(vsizes, "data", perm)
+            vis_ids = jax.lax.ppermute(vis_ids, "data", perm)
+            fused = jnp.concatenate([cnt[None], gid_i, gid_j])
+            return (vxp, vcoll, vsizes, vis_ids), fused
+
+        init = (xp, coll, sizes, row_ids)
+        _, out = jax.lax.scan(
+            step, init, jnp.arange(_n_ring_steps(n_dev), dtype=jnp.int32))
+        return out  # (n_steps, 1 + 2*cap)
+
+    return ring_fn
+
+
+def distributed_candidate_pairs_bitmap(hashes, threshold: float,
+                                       kmer_size: int,
+                                       is_containment: bool = False,
+                                       mesh=None, bits: int = 8192,
+                                       cap: Optional[int] = None,
+                                       radio: Optional[int] = None):
+    """MXU bitmap-filter candidates (i > j, unverified) over a device mesh.
+
+    The distributed counterpart of ops.bitmap.candidate_pair_blocks: no
+    false negatives for pairs reachable at distance <= threshold (and
+    passing the size-ratio prefilter), so downstream exact verification
+    reproduces host results bit-exactly.  Signatures are hash-based, so
+    32- and 64-bit sketches share one plane.  The compacted-output cap
+    auto-regrows (re-runs the ring 4x larger) on overflow."""
+    import math
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from ..distance.mash import min_jaccard_for_threshold, size_ratio_limit
+    from ..ops.bitmap import _pull_quantum, pack_bitmaps_packed
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    n = len(hashes)
+    xp, coll = pack_bitmaps_packed(hashes, bits=bits, pad_n_to=n_dev)
+    n_pad = xp.shape[0]
+    sizes = np.zeros(n_pad, dtype=np.int32)
+    sizes[:n] = [len(h) for h in hashes]
+    j_min = min_jaccard_for_threshold(threshold, kmer_size)
+    c_min = math.exp(-threshold * kmer_size)
+    if radio is None:
+        radio = size_ratio_limit(threshold, kmer_size - 1)
+    row_ids = np.arange(n_pad, dtype=np.int32)
+    shard = n_pad // n_dev
+    if cap is None:
+        cap = max(1 << 16, shard * shard // 16)
+    args = (jnp.asarray(xp), jnp.asarray(coll), jnp.asarray(sizes),
+            jnp.asarray(row_ids))
+    while True:
+        ring_fn = build_ring_bitmap_fn(cap, j_min, 1.0 + j_min, c_min,
+                                       radio, is_containment)
+        fn = jax.shard_map(
+            ring_fn, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P("data")),
+            out_specs=P("data"), check_vma=False)
+        out_dev = jax.jit(fn)(*args)  # (n_dev*n_steps, 1 + 2*cap)
+        # fused minimal pulls: counts column first (tiny), then one
+        # quantized prefix of each id plane (never the full cap buffer)
+        counts = np.asarray(out_dev[:, 0])
+        max_cnt = int(counts.max()) if counts.size else 0
+        if max_cnt <= cap:
+            break
+        while cap < max_cnt:
+            cap *= 4  # auto-regrow, mirrors ops/bitmap.py
+    if max_cnt == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy()
+    q = _pull_quantum(max_cnt, cap)
+    gi = np.asarray(out_dev[:, 1:1 + q])
+    gj = np.asarray(out_dev[:, 1 + cap:1 + cap + q])
+    ii_all, jj_all = [], []
+    for b in range(gi.shape[0]):
+        c = int(counts[b])
+        if c:
+            ii_all.append(gi[b, :c])
+            jj_all.append(gj[b, :c])
+    ii = np.concatenate(ii_all).astype(np.int64)
+    jj = np.concatenate(jj_all).astype(np.int64)
+    keep = (ii < n) & (jj < n)  # drop padded rows
+    return ii[keep], jj[keep]
+
+
 def distributed_mst(hashes, threshold: float, kmer_size: int,
                     is_containment: bool = False, mesh=None,
-                    cap: int = 4096):
-    """Exact MST over a device mesh: ring-extracted candidate edges ->
-    float64 distances on host -> Kruskal (edge-partition MST theorem)."""
+                    cap: int = 4096, engine: str = "exact",
+                    bits: int = 8192):
+    """MST over a device mesh (edge-partition MST theorem).
+
+    engine="exact" (default): bucket-packed exact-count ring -> float64
+    distances on host -> Kruskal.  The candidate set is every pair with
+    common >= 1 passing the size-ratio prefilter — byte-equal to the host
+    compute_mst / reference edge.mst, valid for cuts at ANY threshold.
+
+    engine="bitmap": MXU bitmap-filter ring (build_ring_bitmap_fn) + native
+    exact verify — inherits the single-chip filter's speed.  The candidate
+    bound is threshold-dependent, so the returned MST is exact for every
+    cut <= threshold (what clustering and re-clustering at smaller d use)
+    but may lack candidate edges above it; pass engine="exact" when the
+    full-graph MST is required (e.g. --premsted re-cluster at a LARGER d)."""
     from ..ops.pack import pack_sketches
     from ..cluster.mst import MstResult, kruskal
     from ..distance.mash import aaf_distance, mash_distance
 
     if mesh is None:
         mesh = make_mesh()
+    if engine == "bitmap":
+        from ..ops.bitmap import CsrSketches
+
+        n = len(hashes)
+        ii, jj = distributed_candidate_pairs_bitmap(
+            hashes, threshold, kmer_size, is_containment=is_containment,
+            mesh=mesh, bits=bits)
+        common = CsrSketches(hashes).count_common(ii, jj).astype(np.int64)
+        nz = common > 0
+        ii, jj, common = ii[nz], jj[nz], common[nz]
+        s = np.array([len(h) for h in hashes], dtype=np.int64)
+        if is_containment:
+            d = aaf_distance(common, s[ii], s[jj], kmer_size)
+        else:
+            d = mash_distance(common, s[ii], s[jj], kmer_size)
+        return MstResult(mst=kruskal((ii, jj, d), n), n=n)
     n_dev = int(mesh.devices.size)
     n = len(hashes)
     use64 = n > 0 and hashes[0].dtype == np.uint64
@@ -302,30 +499,33 @@ def _pack_rows_for_mesh(hashes, mesh):
 
 
 def distributed_similarity_graph(hashes, threshold: float, kmer_size: int,
-                                 mesh=None, cap: int = 4096):
+                                 mesh=None, cap: Optional[int] = None,
+                                 bits: int = 8192):
     """Leiden similarity graph over the mesh: edge iff dist < threshold and
     size ratio >= 0.5, weight = 1 - dist (leiden.cpp:188-256 semantics).
 
     Identical edge set and float64 weights as
-    cluster.leiden.build_similarity_graph (no kNN) — the ring prefilter is a
-    strict superset (ceil size bound, no int truncation) and the exact
-    filters run on the host from exact counts."""
+    cluster.leiden.build_similarity_graph (no kNN): the MXU bitmap-filter
+    ring produces a no-false-negative candidate superset (with a ratio
+    prefilter that also covers the Leiden >= 0.5 window) and the exact
+    filters run on the host from exact native counts."""
     import math
     from ..distance.mash import mash_distance
+    from ..ops.bitmap import CsrSketches
 
     if mesh is None:
         mesh = make_mesh()
     n = len(hashes)
-    plane0, plane1, sizes = _pack_rows_for_mesh(hashes, mesh)
     # superset of both the Mash bound max <= min * (2e^{dk}-1) and the
     # Leiden ratio >= 0.5 window
     radio_safe = max(2, int(math.ceil(2.0 * math.exp(
         threshold * kmer_size))) + 1)
-    ii, jj, common = distributed_candidate_edges(
-        plane0, sizes, threshold, kmer_size, mesh=mesh, cap=cap,
-        radio=radio_safe, packed_plane1=plane1)
-    keep = (ii < n) & (jj < n)
-    ii, jj, common = ii[keep], jj[keep], common[keep]
+    ii, jj = distributed_candidate_pairs_bitmap(
+        hashes, threshold, kmer_size, mesh=mesh, bits=bits, cap=cap,
+        radio=radio_safe)
+    common = CsrSketches(hashes).count_common(ii, jj).astype(np.int64)
+    nz = common > 0
+    ii, jj, common = ii[nz], jj[nz], common[nz]
     s = np.array([len(h) for h in hashes], dtype=np.int64)
     s0, s1 = s[ii], s[jj]
     ratio = np.minimum(s0, s1) / np.maximum(np.maximum(s0, s1), 1)
@@ -338,11 +538,43 @@ def distributed_similarity_graph(hashes, threshold: float, kmer_size: int,
 
 def distributed_threshold_clusters(hashes, threshold: float, kmer_size: int,
                                    is_containment: bool = False, mesh=None,
-                                   cap: int = 4096):
+                                   cap: Optional[int] = None,
+                                   bits: int = 8192,
+                                   engine: str = "bitmap"):
     """Exact single-linkage clusters at ``threshold`` over a device mesh
-    (BFS-ordered like the reference MST cut)."""
-    from ..cluster.mst import clusters_from_forest, cut_forest
+    (BFS-ordered like the reference MST cut).
 
-    res = distributed_mst(hashes, threshold, kmer_size,
-                          is_containment=is_containment, mesh=mesh, cap=cap)
-    return clusters_from_forest(cut_forest(res.mst, threshold), len(hashes))
+    Default engine: MXU bitmap-filter ring + union-find-gated native exact
+    verify — the distributed twin of ops.cluster_fast.threshold_clusters_
+    device, inheriting the single-chip engine's speed.  engine="exact"
+    keeps the bucket-packed exact-count ring (slower, used for A/B)."""
+    from ..cluster.mst import clusters_from_forest, cut_forest, kruskal
+
+    if engine == "exact":
+        res = distributed_mst(hashes, threshold, kmer_size,
+                              is_containment=is_containment, mesh=mesh,
+                              cap=cap or 4096, engine="exact")
+        return clusters_from_forest(cut_forest(res.mst, threshold),
+                                    len(hashes))
+    from ..cluster.union_find import UnionFind
+    from ..ops.bitmap import CsrSketches
+    from ..ops.cluster_fast import _gated_verify_block
+
+    n = len(hashes)
+    if n == 0:
+        return []
+    ii, jj = distributed_candidate_pairs_bitmap(
+        hashes, threshold, kmer_size, is_containment=is_containment,
+        mesh=mesh, bits=bits, cap=cap)
+    sizes = np.array([len(h) for h in hashes], dtype=np.int64)
+    uf = UnionFind(n)
+    csr = CsrSketches(hashes)
+    kept_i: list = []
+    kept_j: list = []
+    kept_d: list = []
+    _gated_verify_block(uf, csr, sizes, ii, jj, threshold, kmer_size,
+                        is_containment, kept_i, kept_j, kept_d)
+    forest = kruskal((np.asarray(kept_i, dtype=np.int64),
+                      np.asarray(kept_j, dtype=np.int64),
+                      np.asarray(kept_d, dtype=np.float64)), n)
+    return clusters_from_forest(forest, n)

@@ -312,11 +312,18 @@ def test_distributed_threshold_clusters(synthetic_genomes):
     ss, p = sketch_files_kssd(synthetic_genomes.files[:16], min_len=1000,
                               kmer_size=19, drlevel=2)
     mesh = make_mesh(8)
-    cd = distributed_threshold_clusters(ss.hashes, 0.05, p.kmer_size,
-                                        mesh=mesh)
     res = compute_mst(ss.hashes, 0.05, p.kmer_size)
     ch = clusters_from_forest(cut_forest(res.mst, 0.05), len(ss))
-    assert cd == ch
+    # bitmap engine (default): partition-level contract — the gated-verify
+    # spanning forest is not the MST, so within-cluster BFS order may differ
+    cd = distributed_threshold_clusters(ss.hashes, 0.05, p.kmer_size,
+                                        mesh=mesh)
+    canon = lambda cs: sorted(sorted(c) for c in cs)  # noqa: E731
+    assert canon(cd) == canon(ch)
+    # exact engine: full-MST path, member order byte-equal to host
+    ce = distributed_threshold_clusters(ss.hashes, 0.05, p.kmer_size,
+                                        mesh=mesh, engine="exact")
+    assert ce == ch
 
 
 def test_pull_modes_and_column_trim_equivalent(monkeypatch):
@@ -351,3 +358,68 @@ def test_pull_quantum_ladder():
     assert _pull_quantum(1 << 14, 1 << 20) == 1 << 14
     assert _pull_quantum((1 << 14) + 1, 1 << 20) == 1 << 16
     assert _pull_quantum(1 << 21, 1 << 20) == 1 << 20  # capped
+
+
+def test_distributed_bitmap_mst_cut_byte_equal(synthetic_genomes):
+    """distributed_mst(engine="bitmap") is exact for every cut <= threshold:
+    the <=-threshold edge set equals the host MST's cut EXACTLY (same edges,
+    same kruskal (d, i, j) order), for both 32- and 64-bit sketches."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rabbittclust_tpu.sketch.kssd import sketch_files_kssd
+    from rabbittclust_tpu.parallel.dist_engine import (
+        distributed_mst, make_mesh)
+    from rabbittclust_tpu.cluster.mst import compute_mst, cut_forest
+    mesh = make_mesh(8)
+    for k, dr in ((19, 2), (23, 3)):  # 32-bit and 64-bit hash paths
+        ss, p = sketch_files_kssd(synthetic_genomes.files[:16],
+                                  min_len=1000, kmer_size=k, drlevel=dr)
+        res_b = distributed_mst(ss.hashes, 0.05, p.kmer_size, mesh=mesh,
+                                engine="bitmap", bits=4096)
+        res_h = compute_mst(ss.hashes, 0.05, p.kmer_size)
+        cb = cut_forest(res_b.mst, 0.05)
+        chst = cut_forest(res_h.mst, 0.05)
+        assert cb[0].tolist() == chst[0].tolist(), (k, dr)
+        assert cb[1].tolist() == chst[1].tolist(), (k, dr)
+        assert cb[2].tolist() == chst[2].tolist(), (k, dr)
+
+
+def test_distributed_bitmap_cap_autoregrow(synthetic_genomes):
+    """A tiny cap must auto-regrow (re-run the ring 4x larger), not raise or
+    silently truncate: results equal the big-cap run."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rabbittclust_tpu.sketch.kssd import sketch_files_kssd
+    from rabbittclust_tpu.parallel.dist_engine import (
+        distributed_candidate_pairs_bitmap, make_mesh)
+    ss, p = sketch_files_kssd(synthetic_genomes.files[:16], min_len=1000,
+                              kmer_size=19, drlevel=2)
+    mesh = make_mesh(8)
+    small = distributed_candidate_pairs_bitmap(
+        ss.hashes, 0.05, p.kmer_size, mesh=mesh, bits=4096, cap=1)
+    big = distributed_candidate_pairs_bitmap(
+        ss.hashes, 0.05, p.kmer_size, mesh=mesh, bits=4096, cap=4096)
+    canon = lambda ii, jj: sorted(zip(ii.tolist(), jj.tolist()))  # noqa: E731
+    assert canon(*small) == canon(*big)
+    assert len(small[0]) > 1  # the data is clustered: regrow really fired
+
+
+def test_exact_ring_cap_autoregrow(synthetic_genomes):
+    """The exact-count ring also regrows instead of raising."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from rabbittclust_tpu.sketch.kssd import sketch_files_kssd
+    from rabbittclust_tpu.parallel.dist_engine import (
+        distributed_mst, make_mesh)
+    from rabbittclust_tpu.cluster.mst import compute_mst
+    ss, p = sketch_files_kssd(synthetic_genomes.files[:16], min_len=1000,
+                              kmer_size=19, drlevel=2)
+    res_d = distributed_mst(ss.hashes, 0.05, p.kmer_size,
+                            mesh=make_mesh(8), cap=1)
+    res_h = compute_mst(ss.hashes, 0.05, p.kmer_size)
+    ed = sorted((min(a, b), max(a, b)) for a, b in zip(*res_d.mst[:2]))
+    eh = sorted((min(a, b), max(a, b)) for a, b in zip(*res_h.mst[:2]))
+    assert ed == eh
