@@ -274,8 +274,10 @@ def distributed_candidate_edges(packed_plane0: np.ndarray,
     if not ii_all:
         e = np.empty(0, dtype=np.int64)
         return e, e.copy(), e.copy()
-    return (np.concatenate(ii_all), np.concatenate(jj_all),
-            np.concatenate(cc_all))
+    ii = np.concatenate(ii_all)
+    jj = np.concatenate(jj_all)
+    # canonical host orientation (i > j) — see the bitmap ring decode
+    return (np.maximum(ii, jj), np.minimum(ii, jj), np.concatenate(cc_all))
 
 
 def build_ring_bitmap_fn(cap: int, jmin_num: float, jmin_den: float,
@@ -413,6 +415,9 @@ def distributed_candidate_pairs_bitmap(hashes, threshold: float,
             jj_all.append(gj[b, :c])
     ii = np.concatenate(ii_all).astype(np.int64)
     jj = np.concatenate(jj_all).astype(np.int64)
+    # canonical host orientation (i > j): interior triangular-ring steps
+    # emit row-id-first pairs where the row id may be the smaller one
+    ii, jj = np.maximum(ii, jj), np.minimum(ii, jj)
     keep = (ii < n) & (jj < n)  # drop padded rows
     return ii[keep], jj[keep]
 

@@ -1,0 +1,407 @@
+"""Multi-host (DCN) distribution layer — process-sharded genomes over a
+global device mesh.
+
+The reference is single-node shared-memory only (SURVEY.md §2.14); this
+layer is new TPU-first design, not a port.  Topology:
+
+  * N processes (one per host), each owning its local TPU chips; a global
+    1-D "data" mesh spans every chip of every host
+    (``jax.distributed.initialize`` + ``jax.devices()``).
+  * genomes are data-parallel across processes in contiguous global-id
+    blocks (``shard_bounds``); each process ingests + sketches ONLY its
+    block on its own host (process-sharded ingest — no host ever touches
+    the full FASTA set).
+  * each process bit-packs its rows and contributes them to a globally
+    sharded signature array (``jax.make_array_from_process_local_data``);
+    the SAME MXU bitmap-filter ring as the single-process engine
+    (dist_engine.build_ring_bitmap_fn) runs over the global mesh — the
+    ``ppermute`` hops ride ICI within a host and DCN between hosts, with
+    no host in the loop.
+  * compacted candidates land on the device owning the row shard; each
+    process exact-verifies ITS candidates against the allgathered sketch
+    store (sketches are ~genome_len/4096 — the full store fits every host
+    by design, mirroring the reference's in-RAM sketch vectors) and the
+    per-process verified edge forests are allgathered (DCN, tiny) and
+    merged by a deterministic Kruskal on every process — all hosts end
+    with identical clusters, no further communication.
+
+Exactness: the ring covers every global pair exactly once (triangular
+schedule), the bitmap bound has no false negatives, verification uses the
+native two-pointer kernel and float64 distances — the partition equals the
+single-host engine's bit-exactly.
+
+Launching on real pods: run one copy of the program per host with
+  init_multihost("host0:8476", num_processes=N, process_id=i)
+before any other JAX call (same contract as jax.distributed.initialize).
+For CPU simulation (tests, dry-runs), ``launch_local_sim`` spawns N local
+processes with M virtual CPU devices each.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def init_multihost(coordinator_address: str, num_processes: int,
+                   process_id: int,
+                   virtual_cpu_devices: Optional[int] = None) -> None:
+    """Initialize the JAX distributed runtime.  MUST run before any JAX
+    backend query.  ``virtual_cpu_devices`` forces a CPU simulation with
+    that many virtual devices per process (tests / dry-runs)."""
+    if virtual_cpu_devices is not None:
+        flags = os.environ.get("XLA_FLAGS", "")
+        want = f"--xla_force_host_platform_device_count={virtual_cpu_devices}"
+        if "--xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (flags + " " + want).strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def global_mesh():
+    """1-D "data" mesh over every device of every process."""
+    import jax
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()), axis_names=("data",))
+
+
+def shard_bounds(n_total: int, num_processes: int,
+                 process_id: int) -> Tuple[int, int]:
+    """Contiguous genome block [lo, hi) owned by ``process_id``.  Blocks
+    follow the device-shard layout of a length-``n_pad`` array sharded over
+    the global mesh: padding (if any) lands in the LAST process."""
+    per = -(-n_total // num_processes)
+    lo = min(process_id * per, n_total)
+    return lo, min(lo + per, n_total)
+
+
+def _allgather_ragged(local: np.ndarray) -> List[np.ndarray]:
+    """Allgather 1-D arrays of DIFFERENT lengths across processes (pad to
+    the global max, gather, trim).  Returns one array per process.
+
+    Gathers raw BYTES (uint8 view): process_allgather routes through JAX,
+    which silently truncates float64 -> float32 and (u)int64 -> 32-bit
+    while x64 is off — byte views keep every dtype bit-exact.  Per-process
+    payloads are bounded by int32 byte lengths (< 2 GiB), far above any
+    sketch-store or edge-forest shard."""
+    from jax.experimental import multihost_utils
+
+    dt = local.dtype
+    raw = np.ascontiguousarray(local).view(np.uint8).reshape(-1)
+    assert len(raw) < (1 << 31)
+    n = np.int32(len(raw))
+    lens = np.asarray(multihost_utils.process_allgather(n)).reshape(-1)
+    m = int(lens.max()) if len(lens) else 0
+    padded = np.zeros(m, dtype=np.uint8)
+    padded[:len(raw)] = raw
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return [np.ascontiguousarray(gathered[p, :int(lens[p])]).view(dt)
+            for p in range(len(lens))]
+
+
+def allgather_sketches(local_hashes: List[np.ndarray],
+                       use64: bool) -> List[np.ndarray]:
+    """Gather every process's per-genome hash arrays, in process (= global
+    id) order, so each host holds the full sketch store for verification."""
+    dt = np.uint64 if use64 else np.uint32
+    flat = (np.concatenate(local_hashes).astype(dt) if local_hashes
+            else np.empty(0, dtype=dt))
+    sizes = np.array([len(h) for h in local_hashes], dtype=np.int64)
+    flats = _allgather_ragged(flat)
+    sizess = _allgather_ragged(sizes)
+    out: List[np.ndarray] = []
+    for f, s in zip(flats, sizess):
+        offs = np.zeros(len(s) + 1, dtype=np.int64)
+        np.cumsum(s, out=offs[1:])
+        out.extend(f[offs[g]:offs[g + 1]] for g in range(len(s)))
+    return out
+
+
+def _global_sharded(mesh, local_np: np.ndarray):
+    """Build a globally sharded jax.Array (axis 0 over "data") from this
+    process's contiguous row block."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), local_np)
+
+
+def multihost_candidate_pairs_bitmap(
+        local_hashes: List[np.ndarray], n_total: int, threshold: float,
+        kmer_size: int, is_containment: bool = False, bits: int = 8192,
+        cap: Optional[int] = None, radio: Optional[int] = None,
+        mesh=None) -> Tuple[np.ndarray, np.ndarray]:
+    """MXU bitmap-filter candidates over the GLOBAL (multi-process) mesh.
+
+    Each process passes only its own contiguous genome block; returns the
+    candidate pairs (global ids, i > j, unverified) whose owning row shard
+    lives on this process's devices.  Union over processes = the exact
+    single-host candidate set (dist_engine.distributed_candidate_pairs_
+    bitmap)."""
+    import math
+    import jax
+    from jax.experimental import multihost_utils
+    from ..distance.mash import min_jaccard_for_threshold, size_ratio_limit
+    from ..ops.bitmap import _pull_quantum, pack_bitmaps_packed
+    from .dist_engine import _n_ring_steps, build_ring_bitmap_fn
+
+    if mesh is None:
+        mesh = global_mesh()
+    n_dev = int(mesh.devices.size)
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    lo, hi = shard_bounds(n_total, n_proc, pid)
+    assert len(local_hashes) == hi - lo, (len(local_hashes), lo, hi)
+    # global row padding: every process block padded to the same length so
+    # device shards align (n_pad = per * n_proc, divisible by n_dev)
+    per = -(-n_total // n_proc)
+    assert n_dev % n_proc == 0, (n_dev, n_proc)
+    dev_per_proc = n_dev // n_proc
+    per = -(-per // dev_per_proc) * dev_per_proc
+    n_pad = per * n_proc
+    xp_l, coll_l = pack_bitmaps_packed(local_hashes, bits=bits, pad_n_to=1)
+    # pack pads rows only to a multiple of pad_n_to=1; extend to `per`
+    if xp_l.shape[0] < per:
+        xp_l = np.vstack([xp_l, np.zeros((per - xp_l.shape[0], bits // 8),
+                                         dtype=np.uint8)])
+        coll_l = np.concatenate(
+            [coll_l, np.zeros(per - len(coll_l), dtype=np.int32)])
+    xp_l, coll_l = xp_l[:per], coll_l[:per]
+    sizes_l = np.zeros(per, dtype=np.int32)
+    sizes_l[:len(local_hashes)] = [len(h) for h in local_hashes]
+    row_ids_l = (lo + np.arange(per)).astype(np.int32)
+
+    j_min = min_jaccard_for_threshold(threshold, kmer_size)
+    c_min = math.exp(-threshold * kmer_size)
+    if radio is None:
+        radio = size_ratio_limit(threshold, kmer_size - 1)
+    shard = n_pad // n_dev
+    if cap is None:
+        cap = max(1 << 16, shard * shard // 16)
+
+    from jax.sharding import PartitionSpec as P
+    args = (_global_sharded(mesh, xp_l), _global_sharded(mesh, coll_l),
+            _global_sharded(mesh, sizes_l), _global_sharded(mesh, row_ids_l))
+    while True:
+        ring_fn = build_ring_bitmap_fn(cap, j_min, 1.0 + j_min, c_min,
+                                       radio, is_containment)
+        fn = jax.shard_map(
+            ring_fn, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P("data")),
+            out_specs=P("data"), check_vma=False)
+        out = jax.jit(fn)(*args)  # global (n_dev*n_steps, 1 + 2*cap)
+        # this process decodes ONLY its addressable row-shard outputs
+        local_blocks = [np.asarray(s.data) for s in out.addressable_shards]
+        max_local = max((int(b[:, 0].max()) for b in local_blocks
+                         if b.size), default=0)
+        # cap growth must be agreed globally (same compiled ring everywhere)
+        max_cnt = int(np.asarray(multihost_utils.process_allgather(
+            np.int64(max_local))).max())
+        if max_cnt <= cap:
+            break
+        while cap < max_cnt:
+            cap *= 4
+    ii_all, jj_all = [], []
+    for b in local_blocks:
+        for row in b:
+            c = int(row[0])
+            if c:
+                ii_all.append(row[1:1 + c])
+                jj_all.append(row[1 + cap:1 + cap + c])
+    if not ii_all:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy()
+    ii = np.concatenate(ii_all).astype(np.int64)
+    jj = np.concatenate(jj_all).astype(np.int64)
+    # canonical host orientation (i > j) — see the dist_engine ring decode
+    ii, jj = np.maximum(ii, jj), np.minimum(ii, jj)
+    keep = (ii < n_total) & (jj < n_total)
+    return ii[keep], jj[keep]
+
+
+def multihost_threshold_clusters(
+        local_hashes: List[np.ndarray], n_total: int, threshold: float,
+        kmer_size: int, is_containment: bool = False, bits: int = 8192,
+        cap: Optional[int] = None, mesh=None) -> List[List[int]]:
+    """Exact single-linkage partition at ``threshold`` across hosts.
+
+    Every process returns the identical full partition (BFS-ordered from
+    the merged forest).  Pipeline: global bitmap ring -> per-process gated
+    native exact verify of its own candidates -> allgather of the verified
+    edge forests -> deterministic Kruskal + BFS on every host."""
+    from jax.experimental import multihost_utils
+    from ..cluster.mst import clusters_from_forest, kruskal
+    from ..cluster.union_find import UnionFind
+    from ..ops.bitmap import CsrSketches
+    from ..ops.cluster_fast import _gated_verify_block
+
+    if mesh is None:
+        mesh = global_mesh()
+    use64 = bool(np.asarray(multihost_utils.process_allgather(np.int64(
+        len(local_hashes) > 0 and local_hashes[0].dtype == np.uint64
+    ))).max())
+    ii, jj = multihost_candidate_pairs_bitmap(
+        local_hashes, n_total, threshold, kmer_size,
+        is_containment=is_containment, bits=bits, cap=cap, mesh=mesh)
+    # full sketch store on every host (sketches are tiny by design)
+    all_hashes = allgather_sketches(local_hashes, use64)
+    assert len(all_hashes) == n_total, (len(all_hashes), n_total)
+    sizes = np.array([len(h) for h in all_hashes], dtype=np.int64)
+    uf = UnionFind(n_total)
+    csr = CsrSketches(all_hashes)
+    ki: List[int] = []
+    kj: List[int] = []
+    kd: List[float] = []
+    _gated_verify_block(uf, csr, sizes, ii, jj, threshold, kmer_size,
+                        is_containment, ki, kj, kd)
+    # merge per-process forests: ragged allgather, then deterministic
+    # Kruskal on the union — identical result on every host
+    gi = np.concatenate(_allgather_ragged(np.asarray(ki, dtype=np.int64)))
+    gj = np.concatenate(_allgather_ragged(np.asarray(kj, dtype=np.int64)))
+    gd = np.concatenate(_allgather_ragged(np.asarray(kd, dtype=np.float64)))
+    forest = kruskal((gi, gj, gd), n_total)
+    return clusters_from_forest(forest, n_total)
+
+
+def multihost_mst(local_hashes: List[np.ndarray], n_total: int,
+                  threshold: float, kmer_size: int,
+                  is_containment: bool = False, bits: int = 8192,
+                  cap: Optional[int] = None, mesh=None):
+    """Distributed MST across hosts via the bitmap ring: exact for every
+    cut <= threshold (see dist_engine.distributed_mst engine="bitmap").
+    Every process returns the identical MstResult."""
+    from jax.experimental import multihost_utils
+    from ..cluster.mst import MstResult, kruskal
+    from ..distance.mash import aaf_distance, mash_distance
+    from ..ops.bitmap import CsrSketches
+
+    if mesh is None:
+        mesh = global_mesh()
+    use64 = bool(np.asarray(multihost_utils.process_allgather(np.int64(
+        len(local_hashes) > 0 and local_hashes[0].dtype == np.uint64
+    ))).max())
+    ii, jj = multihost_candidate_pairs_bitmap(
+        local_hashes, n_total, threshold, kmer_size,
+        is_containment=is_containment, bits=bits, cap=cap, mesh=mesh)
+    all_hashes = allgather_sketches(local_hashes, use64)
+    sizes = np.array([len(h) for h in all_hashes], dtype=np.int64)
+    common = CsrSketches(all_hashes).count_common(ii, jj).astype(np.int64)
+    nz = common > 0
+    ii, jj, common = ii[nz], jj[nz], common[nz]
+    if is_containment:
+        d = aaf_distance(common, sizes[ii], sizes[jj], kmer_size)
+    else:
+        d = mash_distance(common, sizes[ii], sizes[jj], kmer_size)
+    # per-process partial MST (<= N-1 edges) -> allgather -> global Kruskal
+    part = kruskal((ii, jj, d), n_total)
+    gi = np.concatenate(_allgather_ragged(part[0]))
+    gj = np.concatenate(_allgather_ragged(part[1]))
+    gd = np.concatenate(_allgather_ragged(part[2]))
+    return MstResult(mst=kruskal((gi, gj, gd), n_total), n=n_total)
+
+
+# ----------------------------------------------------------------------
+# CPU-simulation launcher + self-test child (used by tests and the driver
+# dry-run; mirrors how a real pod launch would run one process per host)
+
+def launch_local_sim(num_processes: int = 2, devices_per_proc: int = 4,
+                     n_genomes: int = 48, port: int = 0,
+                     timeout: float = 420.0) -> List[str]:
+    """Spawn ``num_processes`` local processes, each with
+    ``devices_per_proc`` virtual CPU devices, running the multihost
+    self-test (see _sim_child).  Returns each child's last stdout line."""
+    import socket
+    if port == 0:
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+    procs = []
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    for pid in range(num_processes):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "rabbittclust_tpu.parallel.multihost",
+             str(pid), str(num_processes), str(port),
+             str(devices_per_proc), str(n_genomes)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))))))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise RuntimeError("multihost sim timed out")
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"multihost sim child failed (rc={p.returncode}):\n"
+                f"{err[-4000:]}")
+        outs.append(out.strip().splitlines()[-1] if out.strip() else "")
+    return outs
+
+
+def _make_sim_sketches(n: int, seed: int = 3) -> List[np.ndarray]:
+    """Deterministic clustered synthetic sketches (same on every process)."""
+    rng = np.random.default_rng(seed)
+    bases = [np.unique(rng.integers(0, 2 ** 28, size=120).astype(np.uint32))
+             for _ in range(max(n // 8, 1))]
+    out = []
+    for i in range(n):
+        b = bases[i % len(bases)]
+        keep = b[rng.random(len(b)) < 0.8]
+        extra = np.unique(
+            rng.integers(0, 2 ** 28, size=130 - len(keep)).astype(np.uint32))
+        out.append(np.unique(np.concatenate([keep, extra])))
+    return out
+
+
+def _sim_child(process_id: int, num_processes: int, port: int,
+               devices_per_proc: int, n_genomes: int) -> None:
+    init_multihost(f"127.0.0.1:{port}", num_processes, process_id,
+                   virtual_cpu_devices=devices_per_proc)
+    import hashlib
+    import jax
+    assert jax.process_count() == num_processes
+    assert len(jax.devices()) == num_processes * devices_per_proc
+    hashes = _make_sim_sketches(n_genomes)
+    lo, hi = shard_bounds(n_genomes, num_processes, process_id)
+    clusters = multihost_threshold_clusters(
+        hashes[lo:hi], n_genomes, 0.05, 21, bits=2048)
+    # single-host reference partition, computed locally from the full set
+    from ..cluster.mst import (
+        clusters_from_forest, compute_mst, cut_forest)
+    res = compute_mst(hashes, 0.05, 21)
+    expect = clusters_from_forest(cut_forest(res.mst, 0.05), n_genomes)
+    canon = sorted(tuple(sorted(c)) for c in clusters)
+    canon_h = sorted(tuple(sorted(c)) for c in expect)
+    assert canon == canon_h, "multihost partition != single-host partition"
+    # bitmap-ring MST cut must be byte-equal to the host MST cut
+    res_mh = multihost_mst(hashes[lo:hi], n_genomes, 0.05, 21, bits=2048)
+    cb = cut_forest(res_mh.mst, 0.05)
+    chost = cut_forest(res.mst, 0.05)
+    assert cb[0].tolist() == chost[0].tolist()
+    assert cb[1].tolist() == chost[1].tolist()
+    assert cb[2].tolist() == chost[2].tolist()
+    digest = hashlib.sha256(repr(canon).encode()).hexdigest()[:16]
+    print(f"OK proc={process_id}/{num_processes} "
+          f"devices={len(jax.devices())} clusters={len(clusters)} "
+          f"digest={digest}", flush=True)
+
+
+if __name__ == "__main__":
+    _sim_child(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
+               int(sys.argv[4]), int(sys.argv[5]))
