@@ -53,7 +53,32 @@ def clusters_tpu(hashes, threshold, kmer_size, row_block=8192):
                                      row_block=row_block)
 
 
-def measure_filter_compute(hashes, threshold, kmer_size, reps=8):
+# best-effort per-chip int8 peak (ops/s) for the MFU estimate; override
+# with BENCH_INT8_PEAK when the device kind is missing from the table
+_INT8_PEAK_BY_KIND = {
+    "v5 lite": 394.5e12,   # v5e: 197 bf16 TFLOP/s, 2x int8
+    "v5e": 394.5e12,
+    "v5": 918.0e12,        # v5p: 459 bf16 TFLOP/s
+    "v5p": 918.0e12,
+    "v6 lite": 1836.0e12,  # v6e (Trillium): 918 bf16 TFLOP/s
+    "v6e": 1836.0e12,
+    "v4": 275.0e12,        # v4: no int8 advantage over bf16
+}
+
+
+def int8_peak_ops(device_kind: str):
+    env = os.environ.get("BENCH_INT8_PEAK")
+    if env:
+        return float(env)
+    kind = device_kind.lower()
+    for key in sorted(_INT8_PEAK_BY_KIND, key=len, reverse=True):
+        if key in kind:
+            return _INT8_PEAK_BY_KIND[key]
+    return None
+
+
+def measure_filter_compute(hashes, threshold, kmer_size, reps=8,
+                           bits=8192):
     """Device-compute-only throughput of the MXU candidate filter (staged
     arrays, no host pulls; amortizes dispatch latency over reps)."""
     import math
@@ -62,7 +87,7 @@ def measure_filter_compute(hashes, threshold, kmer_size, reps=8):
     from rabbittclust_tpu.ops import bitmap as bm
     from rabbittclust_tpu.distance.mash import (
         min_jaccard_for_threshold, size_ratio_limit)
-    xp, coll = bm.pack_bitmaps_packed(hashes)
+    xp, coll = bm.pack_bitmaps_packed(hashes, bits=bits)
     n_pad = xp.shape[0]
     sizes = np.zeros(n_pad, dtype=np.int32)
     sizes[: len(hashes)] = [len(h) for h in hashes]
@@ -74,15 +99,20 @@ def measure_filter_compute(hashes, threshold, kmer_size, reps=8):
     sd = jax.device_put(jnp.asarray(sizes))
     cap = max(1 << 20, n_pad * n_pad // 64)
     filt = bm._jitted_filter()
-    args = (xd, xd, cd, cd, sd, sd, jnp.int32(0), jnp.int32(0),
-            jnp.float32(j_min), jnp.float32(1 + j_min), jnp.float32(c_min),
-            jnp.int32(radio), False, cap)
-    filt(*args).block_until_ready()  # warm
+
+    def args(i):
+        # distinct traced scalar per rep: same compiled program, but no
+        # possibility of any duplicate-dispatch shortcut skewing timing
+        return (xd, xd, cd, cd, sd, sd, jnp.int32(i), jnp.int32(0),
+                jnp.float32(j_min), jnp.float32(1 + j_min),
+                jnp.float32(c_min), jnp.int32(radio), False, cap)
+
+    filt(*args(reps)).block_until_ready()  # warm
     t0 = time.perf_counter()
     out = None
-    for _ in range(reps):
-        out = filt(*args)
-    out.block_until_ready()
+    for i in range(reps):
+        out = filt(*args(i))
+    out.block_until_ready()  # in-order execution: all reps done
     dt = (time.perf_counter() - t0) / reps
     return n_pad * n_pad / dt
 
@@ -99,21 +129,34 @@ def device_child():
     s = int(os.environ.get("BENCH_S", "1000"))
     threshold = 0.05
     kmer_size = 21
+    bits = 8192
     hashes = make_sketches(n=n, s=s)
     import jax
+    from rabbittclust_tpu.ops import bitmap as bm
     backend = jax.default_backend()
+    device_kind = jax.devices()[0].device_kind
     # warm-up with identical shapes (compile; cached persistently)
     _ = clusters_tpu(hashes, threshold, kmer_size)
+    bm.reset_pull_stats()
     t0 = time.perf_counter()
     ct = clusters_tpu(hashes, threshold, kmer_size)
     t_tpu = time.perf_counter() - t0
-    out = {"backend": backend, "t_device_s": t_tpu,
-           "digest": partition_digest(ct)}
-    if os.environ.get("BENCH_FILTER") == "1":
-        # optional: device-compute-only filter throughput (extra compiled
-        # program; the remote tunnel can be flaky under load)
-        out["filter_pairs_per_s"] = measure_filter_compute(
-            hashes, threshold, kmer_size)
+    out = {"backend": backend, "device_kind": device_kind,
+           "t_device_s": t_tpu, "digest": partition_digest(ct),
+           "pulled_bytes": bm.PULL_STATS["bytes"],
+           "pulls": bm.PULL_STATS["pulls"]}
+    if os.environ.get("BENCH_FILTER", "1") == "1":
+        # default-on: device-compute-only filter roofline (the per-chip
+        # number the north star is judged on); BENCH_FILTER=0 skips it
+        # when the tunnel is flaky under load
+        fpps = measure_filter_compute(hashes, threshold, kmer_size,
+                                      bits=bits)
+        out["filter_pairs_per_s"] = fpps
+        # one candidate-filter pair = `bits` int8 MACs = 2*bits ops
+        out["filter_int8_ops_per_s"] = fpps * bits * 2
+        peak = int8_peak_ops(device_kind)
+        out["int8_peak_ops_per_s"] = peak
+        out["mfu"] = (fpps * bits * 2 / peak) if peak else None
     print(json.dumps(out), flush=True)
 
 
@@ -133,7 +176,7 @@ def main():
 
     # device path in a killable subprocess: the tunnel can wedge
     # indefinitely, and a hung RPC is not interruptible in-process
-    filter_pairs_per_s = None
+    info = {}
     timeout = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "1800"))
     try:
         proc = subprocess.run(
@@ -144,7 +187,6 @@ def main():
         backend = info["backend"]
         t_tpu = float(info["t_device_s"])
         ok = info["digest"] == partition_digest(ch)
-        filter_pairs_per_s = info.get("filter_pairs_per_s")
     except Exception as e:  # pragma: no cover
         print(f"bench: device path failed/timed out: {e}", file=sys.stderr)
         backend = "none"
@@ -159,6 +201,8 @@ def main():
     # deployment; the tunnel-attached dev TPU has multi-second fixed
     # latencies that local-PCIe hardware does not)
     t_best = min(t_host, t_tpu)
+    fpps = info.get("filter_pairs_per_s")
+    ops = info.get("filter_int8_ops_per_s")
     result = {
         "metric": "exact_pair_cluster_throughput",
         "value": round(pairs / t_best, 1),
@@ -168,11 +212,20 @@ def main():
         "n_genomes": n,
         "sketch_size": s,
         "backend": backend,
+        "device_kind": info.get("device_kind"),
         "t_host_s": round(t_host, 3),
         "t_device_s": round(t_tpu, 3),
         "clusters_match": ok,
-        "filter_compute_pairs_per_s": (round(filter_pairs_per_s)
-                                       if filter_pairs_per_s else None),
+        # per-chip roofline evidence (single chip here, so pairs/s/chip ==
+        # end-to-end pairs/s of the device path)
+        "pairs_per_s_per_chip": (round(pairs / t_tpu, 1)
+                                 if backend != "none" else None),
+        "filter_compute_pairs_per_s": round(fpps) if fpps else None,
+        "filter_int8_ops_per_s": round(ops) if ops else None,
+        "int8_peak_ops_per_s": info.get("int8_peak_ops_per_s"),
+        "mfu": (round(info["mfu"], 4) if info.get("mfu") else None),
+        "device_pulled_bytes": info.get("pulled_bytes"),
+        "device_pulls": info.get("pulls"),
     }
     print(json.dumps(result))
 

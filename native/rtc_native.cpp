@@ -19,7 +19,11 @@
 #include <cstring>
 #include <cmath>
 #include <climits>
+#include <condition_variable>
+#include <deque>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 #include <algorithm>
 #include <unordered_map>
@@ -609,55 +613,118 @@ void* rtc_sketch_files(const char** files, int64_t nfiles, int64_t min_len,
 }
 
 // Sketch each SEQUENCE of a single FASTA file as its own genome.
+//
+// Streaming bounded-memory pipeline (behavioral spec: reference RabbitFX
+// producer/consumer, SketchInfo.cpp:498-503,582-594): one reader thread
+// fills a byte-bounded record queue, `threads` sketcher threads drain it.
+// Peak resident sequence bytes are bounded by RTC_SEQ_QUEUE_BYTES
+// (default 256 MB) + one in-flight record per thread — a multi-GB FASTA
+// no longer slurps into RAM.  Results keep exact sequence order.
 void* rtc_sketch_sequences(const char* file, int64_t min_len, int mode,
                            int param1, int param2, int param3,
                            const int32_t* shuffled_dim, int threads) {
-  // Pass 1: read all records (sequential IO), then parallel sketch.
-  std::vector<SeqRecord> recs;
-  {
-    FastaReader rd;
-    if (!rd.open(file)) return new SketchResult();
-    SeqRecord rec;
-    while (rd.next(rec)) recs.push_back(std::move(rec));
-    rd.close();
-  }
   auto* res = new SketchResult();
-  res->genomes.resize(recs.size());
   KssdParams kp;
   if (mode == 0) kp.init(param1, param2, param3);
-#pragma omp parallel num_threads(threads)
-  {
-    KssdSketcher ks;
-    ks.p = kp;
-    ks.shuffled_dim = shuffled_dim;
-    MinHashSketcher ms;
-#pragma omp for schedule(dynamic)
-    for (int64_t i = 0; i < (int64_t)recs.size(); ++i) {
-      GenomeSketch& g = res->genomes[i];
-      g.file_name = file;
-      g.name = recs[i].name.empty() ? "noName" : recs[i].name;
-      g.comment = recs[i].comment.empty() ? "noName" : recs[i].comment;
-      g.seq0_len = (int64_t)recs[i].seq.size();
-      g.total_len = g.seq0_len;
-      g.num_seqs = 1;
-      if (g.total_len < min_len) continue;
-      if (mode == 0) {
-        ks.set.reset(1 << 12);
-        ks.update(recs[i].seq.data(), g.seq0_len);
-        g.hashes.resize(ks.set.size());
-        ks.set.extract_sorted(g.hashes.data());
-      } else {
-        int cap = param2;
-        if (param3 > 0) {  // containment: per-sequence sketch size
-          cap = (int)std::max<int64_t>(g.seq0_len / param3, 100);
-        }
-        ms.init(param1, cap);
-        ms.update(recs[i].seq.data(), g.seq0_len);
-        g.hashes.resize(ms.size());
-        ms.extract_sorted(g.hashes.data());
-      }
-    }
+
+  int64_t max_bytes = 256ll << 20;
+  if (const char* e = getenv("RTC_SEQ_QUEUE_BYTES")) {
+    int64_t v = atoll(e);
+    if (v > 0) max_bytes = v;
   }
+  struct Item {
+    int64_t idx;
+    SeqRecord rec;
+  };
+  std::mutex mu;
+  std::condition_variable cv_space, cv_data;
+  std::deque<Item> queue;
+  int64_t bytes_in_q = 0;
+  bool producer_done = false;
+  bool open_ok = true;
+
+  std::thread producer([&] {
+    FastaReader rd;
+    if (!rd.open(file)) {
+      std::lock_guard<std::mutex> lk(mu);
+      open_ok = false;
+      producer_done = true;
+      cv_data.notify_all();
+      return;
+    }
+    int64_t idx = 0;
+    SeqRecord rec;
+    while (rd.next(rec)) {
+      int64_t sz = (int64_t)rec.seq.size();
+      std::unique_lock<std::mutex> lk(mu);
+      cv_space.wait(lk, [&] { return bytes_in_q < max_bytes; });
+      bytes_in_q += sz;
+      queue.push_back(Item{idx++, std::move(rec)});
+      cv_data.notify_one();
+    }
+    rd.close();
+    std::lock_guard<std::mutex> lk(mu);
+    producer_done = true;
+    cv_data.notify_all();
+  });
+
+  std::mutex res_mu;
+  int n_workers = threads > 0 ? threads : 1;
+  std::vector<std::thread> workers;
+  workers.reserve(n_workers);
+  for (int w = 0; w < n_workers; ++w) {
+    workers.emplace_back([&] {
+      KssdSketcher ks;
+      ks.p = kp;
+      ks.shuffled_dim = shuffled_dim;
+      MinHashSketcher ms;
+      while (true) {
+        Item it;
+        {
+          std::unique_lock<std::mutex> lk(mu);
+          cv_data.wait(lk, [&] { return !queue.empty() || producer_done; });
+          if (queue.empty()) break;
+          it = std::move(queue.front());
+          queue.pop_front();
+          bytes_in_q -= (int64_t)it.rec.seq.size();
+          cv_space.notify_one();
+        }
+        GenomeSketch g;
+        g.file_name = file;
+        g.name = it.rec.name.empty() ? "noName" : it.rec.name;
+        g.comment = it.rec.comment.empty() ? "noName" : it.rec.comment;
+        g.seq0_len = (int64_t)it.rec.seq.size();
+        g.total_len = g.seq0_len;
+        g.num_seqs = 1;
+        if (g.total_len >= min_len) {
+          if (mode == 0) {
+            ks.set.reset(1 << 12);
+            ks.update(it.rec.seq.data(), g.seq0_len);
+            g.hashes.resize(ks.set.size());
+            ks.set.extract_sorted(g.hashes.data());
+          } else {
+            int cap = param2;
+            if (param3 > 0) {  // containment: per-sequence sketch size
+              cap = (int)std::max<int64_t>(g.seq0_len / param3, 100);
+            }
+            ms.init(param1, cap);
+            ms.update(it.rec.seq.data(), g.seq0_len);
+            g.hashes.resize(ms.size());
+            ms.extract_sorted(g.hashes.data());
+          }
+        }
+        {
+          std::lock_guard<std::mutex> lk(res_mu);
+          if ((int64_t)res->genomes.size() <= it.idx)
+            res->genomes.resize(it.idx + 1);
+          res->genomes[it.idx] = std::move(g);
+        }
+      }
+    });
+  }
+  producer.join();
+  for (auto& t : workers) t.join();
+  (void)open_ok;  // missing file -> empty result (caller surfaces it)
   return res;
 }
 

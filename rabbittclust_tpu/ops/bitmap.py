@@ -34,6 +34,20 @@ from ..utils import native as native_mod
 
 _MIX64 = np.uint64(0x9E3779B97F4A7C15)
 
+# device->host transfer accounting for the candidate filter (read by
+# bench.py to evidence the pulled-byte budget; reset_pull_stats() to zero)
+PULL_STATS = {"bytes": 0, "pulls": 0}
+
+
+def reset_pull_stats() -> None:
+    PULL_STATS["bytes"] = 0
+    PULL_STATS["pulls"] = 0
+
+
+def _account_pull(n_bytes: int) -> None:
+    PULL_STATS["bytes"] += int(n_bytes)
+    PULL_STATS["pulls"] += 1
+
 
 def pack_bitmaps(hashes: List[np.ndarray], bits: int = 8192,
                  pad_n_to: int = 128) -> Tuple[np.ndarray, np.ndarray]:
@@ -224,6 +238,7 @@ def candidate_pair_blocks(
             if t + 1 < len(tiles):
                 pending = dispatch(*tiles[t + 1], cur_cap)
             fused = np.asarray(fused_dev)
+            _account_pull(4 * (1 + used_cap))
             count = int(fused[0])
             # compare against the cap THIS buffer was dispatched with (the
             # prefetch may predate a growth), else an overflowing count
@@ -232,6 +247,7 @@ def candidate_pair_blocks(
                 cur_cap = max(cur_cap, used_cap * 4)
                 used_cap = cur_cap
                 fused = np.asarray(dispatch(r0, gi, c0, gj, cur_cap)[0])
+                _account_pull(4 * (1 + used_cap))
                 count = int(fused[0])
             idx = fused[1:1 + count].astype(np.int64)
         else:
@@ -241,11 +257,13 @@ def candidate_pair_blocks(
             # 4*cap (4-17 MB/tile, growing with N^2) to
             # ~4*quantum(count) (16K-element floor, 4x ladder).
             count = int(np.asarray(cnt_dev)[0])
+            _account_pull(4)
             while count > used_cap:
                 cur_cap = max(cur_cap, used_cap * 4)
                 used_cap = cur_cap  # rare: recompile with a larger buffer
                 fused_dev, cnt_dev, _ = dispatch(r0, gi, c0, gj, cur_cap)
                 count = int(np.asarray(cnt_dev)[0])
+                _account_pull(4)
             # quantized prefix slice (few distinct shapes -> few tiny
             # compiles), dispatched BEFORE the next tile's filter so it
             # runs immediately and its pull overlaps that filter's compute
@@ -253,8 +271,11 @@ def candidate_pair_blocks(
                 if count else None
             if t + 1 < len(tiles):
                 pending = dispatch(*tiles[t + 1], cur_cap)
-            idx = (np.asarray(prefix_dev)[:count].astype(np.int64)
-                   if count else None)
+            if count:
+                idx = np.asarray(prefix_dev)[:count].astype(np.int64)
+                _account_pull(4 * _pull_quantum(count, used_cap))
+            else:
+                idx = None
         if count:
             ii = idx // gj + r0
             jj = idx % gj + c0
