@@ -984,6 +984,23 @@ static void kruskal_reduce(std::vector<EdgeRec>& edges, int n) {
   edges.resize(keep);
 }
 
+static void kruskal_reduce_parity(std::vector<EdgeRec>& edges, int n) {
+  // Reference serial reduce (MST.cpp:571-573): UNSTABLE std::sort with a
+  // dist-only comparator (cmpEdge, MST.cpp:17-19) followed by in-order
+  // Kruskal.  Using the real libstdc++ std::sort on the same input
+  // sequence reproduces the reference's tie resolution bit-for-bit, which
+  // makes edge.mst byte-identical at -t 1 even under exact float64
+  // distance ties.
+  std::sort(edges.begin(), edges.end(),
+            [](const EdgeRec& a, const EdgeRec& b) { return a.d < b.d; });
+  UF uf(n);
+  size_t keep = 0;
+  for (size_t k = 0; k < edges.size(); ++k) {
+    if (uf.merge(edges[k].i, edges[k].j)) edges[keep++] = edges[k];
+  }
+  edges.resize(keep);
+}
+
 template <typename HashT>
 MstOut mst_engine(const HashT* flat, const int64_t* offs, int64_t n,
                   double threshold, int kmer_size, bool containment,
@@ -1017,6 +1034,17 @@ MstOut mst_engine(const HashT* flat, const int64_t* offs, int64_t n,
 
   const int radio = (int)(2.0 * std::exp(threshold * (kmer_size - 1)) - 1.0);
   const double inv_k = 1.0 / kmer_size;
+
+  // Serial (-t 1) runs replicate the reference cadence exactly
+  // (MST.cpp:388-766): subSize=8 genome blocks, each followed by an
+  // unstable dist-only sort + Kruskal over [current MST ++ new edges];
+  // tail genomes ((n-start) % 8) accumulate and get ONE final reduce.
+  // This plus kruskal_reduce_parity makes edge.mst byte-identical to the
+  // reference at -t 1.  Multithreaded runs keep the adaptive cadence
+  // (the reference itself is completion-order nondeterministic there).
+  const bool parity = (threads == 1);
+  const int64_t sub_size = 8;
+  const int64_t tail_n = parity ? (n - start_index) % sub_size : 0;
 
   std::vector<std::vector<EdgeRec>> thread_edges(threads);
   std::vector<std::vector<int32_t>> thread_dense;
@@ -1097,22 +1125,38 @@ MstOut mst_engine(const HashT* flat, const int64_t* offs, int64_t n,
         }
         edges.push_back({(int32_t)i, j, dist});
       }
-      since_reduce += touched.size();
-      if (since_reduce > (size_t)(8 * n) && edges.size() > (size_t)(2 * n)) {
-        kruskal_reduce(edges, (int)n);
-        since_reduce = 0;
+      if (parity) {
+        if (i < n - tail_n && (i - start_index + 1) % sub_size == 0)
+          kruskal_reduce_parity(edges, (int)n);
+      } else {
+        since_reduce += touched.size();
+        if (since_reduce > (size_t)(8 * n) && edges.size() > (size_t)(2 * n)) {
+          kruskal_reduce(edges, (int)n);
+          since_reduce = 0;
+        }
       }
     }
-    kruskal_reduce(edges, (int)n);
+    if (parity) {
+      // reference tail reduce (MST.cpp:759-763): only when a tail exists
+      // and the accumulated array is non-empty; NO extra reduce otherwise
+      if (tail_n > 0 && !edges.empty()) kruskal_reduce_parity(edges, (int)n);
+    } else {
+      kruskal_reduce(edges, (int)n);
+    }
   }
 
-  // merge per-thread partial MSTs
+  // merge per-thread partial MSTs.  The reference re-sorts the merged
+  // graph once more with cmpEdge and reruns Kruskal (MST.cpp:778-786)
+  // even at -t 1 — parity mode must replicate that final unstable sort,
+  // since introsort can swap adjacent equal-weight elements of an
+  // already-sorted array.
   std::vector<EdgeRec> all;
   for (auto& te : thread_edges) {
     all.insert(all.end(), te.begin(), te.end());
     te.clear();
   }
-  kruskal_reduce(all, (int)n);
+  if (parity) kruskal_reduce_parity(all, (int)n);
+  else kruskal_reduce(all, (int)n);
   out.ei.reserve(all.size());
   out.ej.reserve(all.size());
   out.ed.reserve(all.size());
@@ -1521,3 +1565,27 @@ void rtc_pairs_data(void* h, int32_t* pi, int32_t* pj, int32_t* common) {
 void rtc_pairs_free(void* h) { delete (PairsOut*)h; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Reference-parity unstable sort (behavioral spec: src/greedy.cpp:594-597).
+// The reference KSSD greedy sorts sketches with std::sort and a SIZE-ONLY
+// comparator — tie order is whatever libstdc++ introsort produces for the
+// given input sequence.  Since this library is compiled with the same
+// libstdc++, calling the real std::sort with the same comparator-outcome
+// sequence reproduces the permutation bit-for-bit (introsort's swap
+// sequence depends only on comparison outcomes and element count, not on
+// the element type).  out_perm[k] = original id at sorted position k.
+
+extern "C" void rtc_stdsort_size_desc(const int64_t* sizes, int64_t n,
+                                      int32_t* out_perm) {
+  struct Rec {
+    int64_t size;
+    int32_t id;
+  };
+  std::vector<Rec> v((size_t)n);
+  for (int64_t i = 0; i < n; ++i) v[i] = {sizes[i], (int32_t)i};
+  std::sort(v.begin(), v.end(),
+            [](const Rec& a, const Rec& b) { return a.size > b.size; });
+  for (int64_t i = 0; i < n; ++i) out_perm[i] = v[i].id;
+}
+

@@ -66,7 +66,7 @@ def write_assign_tsv(state, ss, output_file: str) -> None:
 
 def _build_state_from_sketchset(ss, p, threshold: float) -> KssdClusterState:
     from ..cluster.greedy import greedy_cluster
-    order = ss.sort_by_size_desc()
+    order = ss.kssd_greedy_order()
     ss2 = ss.reorder(order)
     gres = greedy_cluster(ss2.hashes, threshold, p.kmer_size, presorted=True)
     return KssdClusterState.from_clustering(ss2, p, gres, threshold), ss2

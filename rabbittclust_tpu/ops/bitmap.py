@@ -96,13 +96,21 @@ def pack_bitmaps_packed(hashes: List[np.ndarray], bits: int = 8192,
     return out, coll
 
 
-def _unpack_bits_device(xp):
-    """(N, B//8) uint8 -> (N, B) int8 of 0/1 on device."""
+def _unpack_bits_device(xp, dtype=None):
+    """(N, B//8) uint8 -> (N, B) 0/1 on device (default bfloat16).
+
+    bfloat16 is deliberate: int8 dot_general does NOT lower to the MXU in
+    this XLA (measured ~1.35 Tera-ops/s on v5e = VPU integer emulation,
+    0.3% MFU); bf16 x bf16 -> f32 runs on the MXU at matmul speed, and is
+    EXACT here — products are 0/1 and the f32 accumulator is exact for
+    counts <= 2^24, far above any signature width."""
     import jax.numpy as jnp
 
+    if dtype is None:
+        dtype = jnp.bfloat16
     shifts = jnp.arange(8, dtype=jnp.uint8)
     bits = (xp[:, :, None] >> shifts[None, None, :]) & jnp.uint8(1)
-    return bits.reshape(xp.shape[0], -1).astype(jnp.int8)
+    return bits.reshape(xp.shape[0], -1).astype(dtype)
 
 
 def _filter_block_fn(xi, x, ci, c, si, s, row_start, col_start, jmin_num,
@@ -119,7 +127,8 @@ def _filter_block_fn(xi, x, ci, c, si, s, row_start, col_start, jmin_num,
     xi = _unpack_bits_device(xi)
     x = _unpack_bits_device(x)
     shared = jax.lax.dot_general(
-        xi, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+        xi, x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
     si_c = si[:, None].astype(jnp.float32)
     s_c = s[None, :].astype(jnp.float32)
     # float32 bound with a -2 safety margin: the device bound must never

@@ -49,7 +49,8 @@ def _greedy_filter_fn(x_all, batch_idx, rep_idx, coll, sizes, jmin_num,
     xb = _unpack_bits_device(jnp.take(x_all, batch_idx, axis=0))
     xr = _unpack_bits_device(jnp.take(x_all, rep_idx, axis=0))
     shared = jax.lax.dot_general(
-        xb, xr, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+        xb, xr, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
     sb = jnp.take(sizes, batch_idx)
     sr = jnp.take(sizes, rep_idx)
     cb = jnp.take(coll, batch_idx)

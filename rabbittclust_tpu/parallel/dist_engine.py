@@ -286,12 +286,12 @@ def build_ring_bitmap_fn(cap: int, jmin_num: float, jmin_den: float,
     ops.bitmap._filter_block_fn.
 
     Each device keeps its row shard's bit-packed signatures resident
-    (unpacked to int8 once) and rotates the visiting shard's PACKED uint8
-    signatures (+ collisions/sizes/ids) around the ring — 8x less ICI
-    traffic than int8; shared-bit counts come from ONE int8 matmul on the
-    MXU (bits MACs/pair) instead of the exact ring's O(W^2 K) bucket
-    compares (~8x more ops on the much slower VPU — a ~100x per-step FLOP
-    cost drop).  The same deterministic no-false-negative bound as the
+    (unpacked to 0/1 bf16 once) and rotates the visiting shard's PACKED
+    uint8 signatures (+ collisions/sizes/ids) around the ring — 16x less
+    ICI traffic than bf16; shared-bit counts come from ONE bf16 matmul on
+    the MXU (bits MACs/pair, exact: 0/1 products, f32 accumulation)
+    instead of the exact ring's O(W^2 K) bucket compares (~8x more ops on
+    the much slower VPU — a ~100x per-step FLOP cost drop).  The same deterministic no-false-negative bound as the
     single-chip filter (shared >= common_min - min(collisions)) gates the
     candidates; survivors are verified exactly on the host."""
     import jax
@@ -307,7 +307,7 @@ def build_ring_bitmap_fn(cap: int, jmin_num: float, jmin_den: float,
             vbits = _unpack_bits_device(vxp)
             shared = jax.lax.dot_general(
                 rows_bits, vbits, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
+                preferred_element_type=jnp.float32).astype(jnp.int32)
             si_c = sizes[:, None].astype(jnp.float32)
             s_c = vsizes[None, :].astype(jnp.float32)
             # f32 bound with -1 safety margin: must never exceed the exact

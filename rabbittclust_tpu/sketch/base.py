@@ -64,13 +64,35 @@ class SketchSet:
         return out
 
     def sort_by_size_desc(self) -> np.ndarray:
-        """Greedy-engine ordering: sketch size descending, id ascending on
-        ties (reference src/greedy.cpp:594-599; ties resolved by id for
-        determinism — the reference's unstable std::sort leaves tie order
-        implementation-defined)."""
+        """Deterministic greedy ordering: sketch size descending, id
+        ascending on ties.  Used where the reference's comparator also
+        breaks ties by id (cmpGenomeSize/cmpSeqSize, SketchInfo.cpp:35-58)
+        or where no parity constraint applies."""
         sizes = self.sizes
         order = np.lexsort((np.arange(len(self)), -sizes))
         return order
+
+    def kssd_greedy_order(self) -> np.ndarray:
+        """KSSD greedy ordering with REFERENCE tie order.  The reference
+        sorts with std::sort and a size-only comparator
+        (greedy.cpp:594-597) — UNSTABLE, so sketch-size ties land in
+        libstdc++-introsort order, not id order.  We reproduce the
+        permutation bit-for-bit by calling the real libstdc++ std::sort in
+        the native library (rtc_stdsort_size_desc); the lexsort fallback
+        (id-ascending ties) only diverges under size ties at n > 16, where
+        introsort stops being insertion sort."""
+        from ..utils import native as native_mod
+        sizes = self.sizes.astype(np.int64)
+        lib = native_mod.load_native()
+        if lib is not None and hasattr(lib, "rtc_stdsort_size_desc"):
+            import ctypes
+            out = np.empty(len(self), dtype=np.int32)
+            lib.rtc_stdsort_size_desc(
+                sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_int64(len(self)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            return out.astype(np.int64)
+        return np.lexsort((np.arange(len(self)), -sizes))
 
     def extend(self, other: "SketchSet") -> None:
         assert self.kind == other.kind and self.use64 == other.use64

@@ -42,7 +42,15 @@ def _try_build() -> bool:
 
 @lru_cache(maxsize=1)
 def load_native():
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed) the native library; None if unavailable.
+
+    A stale .so (older than rtc_native.cpp, e.g. after a git pull) is
+    rebuilt automatically — new ctypes signatures below would otherwise
+    fail on missing symbols."""
+    stale = (os.path.exists(_LIB_PATH) and os.path.exists(_SRC_PATH)
+             and os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH))
+    if stale:
+        _try_build()  # failure falls through to loading the stale copy
     if not os.path.exists(_LIB_PATH) and not _try_build():
         return None
     try:
@@ -92,6 +100,7 @@ def load_native():
     lib.rtc_kssd_size.argtypes = [ctypes.c_void_p]
     lib.rtc_kssd_extract.argtypes = [ctypes.c_void_p, _c_u64p]
     lib.rtc_kssd_destroy.argtypes = [ctypes.c_void_p]
+    lib.rtc_stdsort_size_desc.argtypes = [_c_i64p, ctypes.c_int64, _c_i32p]
     lib.rtc_scan_lengths.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, _c_i64p, ctypes.c_int]
     for fn in ("rtc_mst_u32", "rtc_mst_u64"):

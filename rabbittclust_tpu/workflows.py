@@ -290,7 +290,7 @@ def compute_kssd_clusters(ss: SketchSet, p: KssdParams, threshold: float,
                           is_containment: bool, opts: OutputOptions,
                           folder: Optional[str], module: str):
     if module == "greedy":
-        order = ss.sort_by_size_desc()
+        order = ss.kssd_greedy_order()
         ss2 = ss.reorder(order)
         if opts.use_device:
             # MXU batch-vs-reps candidate generation; semantics of the
@@ -318,7 +318,7 @@ def compute_kssd_clusters(ss: SketchSet, p: KssdParams, threshold: float,
     timer = Timer()
     with timer.phase("computing mst"):
         res = _compute_mst_engine(ss, threshold, p.kmer_size, is_containment,
-                                  opts)
+                                  opts, threads=threads)
     if not opts.no_save and folder:
         sketch_io.ensure_folder(folder)
         sketch_io.save_genome_info(ss, folder, "mst", kssd=True)
@@ -436,7 +436,7 @@ def append_clust_mst_fast(folder_path: str, input_file: str,
         pre_n = 0  # no MST: recompute everything
     res = _compute_mst_engine(ss, threshold, p.kmer_size, is_containment,
                               opts, start_index=pre_n if pre_mst else 0,
-                              pre_edges=pre_mst)
+                              pre_edges=pre_mst, threads=threads)
     # the merged artifacts go into a NEW run folder — the source folder is
     # never mutated (reference append_clust_mst_fast writes
     # new_folder_path, sub_command.cpp:1450-1470)
@@ -491,7 +491,7 @@ def append_clust_greedy_fast(folder_path: str, input_file: str,
         nf = sketch_io.default_folder_path()
         sketch_io.ensure_folder(nf)
         sketch_io.save_kssd_sketches(new_ss, p, nf)
-    order = ss.sort_by_size_desc()
+    order = ss.kssd_greedy_order()
     ss2 = ss.reorder(order)
     gres = greedy_cluster(ss2.hashes, threshold, p.kmer_size, presorted=True)
     st = KssdClusterState.from_clustering(ss2, p, gres, threshold)
@@ -560,7 +560,7 @@ def compute_minhash_clusters(ss: SketchSet, p: MinHashParams,
             st.save(os.path.join(folder, "cluster_state.bin"))
         return gres.clusters, ss2
     res = _compute_mst_engine(ss, threshold, p.kmer_size, p.is_containment,
-                              opts)
+                              opts, threads=threads)
     if not opts.no_save and folder:
         sketch_io.ensure_folder(folder)
         sketch_io.save_genome_info(ss, folder, "mst", kssd=False)

@@ -38,13 +38,18 @@ def write_fasta(path: str, name: str, comment: str, seq: str) -> None:
 
 
 def make_clustered_genomes(tmpdir, n_clusters=4, per_cluster=5, length=30000,
-                           mutation=0.01, seed=7, fragment=False) -> GenomeFixture:
+                           mutation=0.01, seed=7, fragment=False,
+                           length_jitter=0) -> GenomeFixture:
     rng = random.Random(seed)
     files, labels, seqs = [], [], []
     for ci in range(n_clusters):
         base = rand_seq(rng, length)
         for m in range(per_cluster):
             s = mutate(rng, base, mutation)
+            if length_jitter:
+                # varied per-genome lengths -> varied sketch sizes ->
+                # effectively unique distances (no mass-tie degeneracy)
+                s = s[:length - rng.randint(0, length_jitter)]
             if fragment and m > 0:
                 # containment test: random-length fragment of the seed
                 frag_len = rng.randint(length // 3, length)

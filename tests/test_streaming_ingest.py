@@ -43,14 +43,27 @@ def test_queue_bound_does_not_change_results(tmp_path, monkeypatch):
 
 
 _RSS_CHILD = r"""
-import os, resource, sys
+import os, sys
 import numpy as np
 from rabbittclust_tpu.sketch.kssd import sketch_sequences_kssd
+
+def vmhwm_mb():
+    # NOT getrusage(ru_maxrss): Linux folds the pre-exec (forked) mm's
+    # hiwater into the task's maxrss, so a child of a fat parent (pytest
+    # with jax loaded) inherits the PARENT's peak.  VmHWM is per-mm and
+    # resets at execve — it measures only this process's own usage.
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmHWM:"):
+                return int(line.split()[1]) // 1024
+    return -1
+
+base_mb = vmhwm_mb()
 ss, p = sketch_sequences_kssd(sys.argv[1], min_len=1000, kmer_size=21,
                               drlevel=3, threads=2)
-peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+peak_mb = vmhwm_mb()
 total = sum(len(h) for h in ss.hashes)
-print(f"RSS {peak_mb} {len(ss)} {total}", flush=True)
+print(f"RSS {peak_mb} {len(ss)} {total} base {base_mb}", flush=True)
 """
 
 
@@ -71,6 +84,11 @@ def test_multi_hundred_mb_file_streams_bounded(tmp_path):
     # host-only child: the conftest's 8-virtual-device XLA flag would
     # inflate the import baseline and pollute the RSS bound
     env.pop("XLA_FLAGS", None)
+    # ... and so would the axon sitecustomize (PYTHONPATH=/root/.axon_site
+    # + PALLAS_AXON_POOL_IPS): it imports jax and registers the TPU plugin
+    # at interpreter start, adding a 150-700 MB nondeterministic baseline
+    # to a process that never touches a device
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proc = subprocess.run(
         [sys.executable, "-c", _RSS_CHILD, str(fa)], capture_output=True,
@@ -78,9 +96,11 @@ def test_multi_hundred_mb_file_streams_bounded(tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     line = [ln for ln in proc.stdout.splitlines()
             if ln.startswith("RSS ")][-1]
-    _, peak_mb, n, total = line.split()
+    _, peak_mb, n, total, _, base_mb = line.split()
     assert int(n) == n_seqs
     assert int(total) > 0
     # import baseline (jax et al.) is ~170 MB; the 300 MB of sequence data
     # must NOT be resident on top of it
-    assert int(peak_mb) < 330, f"peak RSS {peak_mb} MB — ingest slurped?"
+    assert int(peak_mb) < 330, (
+        f"peak RSS {peak_mb} MB (import baseline {base_mb} MB, "
+        f"stderr: {proc.stderr[-200:]}) — ingest slurped?")
