@@ -529,6 +529,11 @@ struct GenomeSketch {
   int64_t seq0_len = 0;
   int64_t total_len = 0;
   int64_t num_seqs = 0;
+  // MinHash PARAMETER sketch size (what the reference's getSketchSize()
+  // returns): the fixed -s value in standard mode, max(len/cc, 100) in
+  // containment mode.  The greedy engine's bounds/distances use this, not
+  // the actual kept-hash count (SketchInfo.cpp:920, greedy.cpp:1202).
+  int64_t param_size = 0;
   std::vector<uint64_t> hashes;  // sorted ascending
   int32_t ok = 1;                // 0 if file missing/unreadable
 };
@@ -604,12 +609,35 @@ void* rtc_sketch_files(const char** files, int64_t nfiles, int64_t min_len,
         } else {
           g.hashes.resize(ms.size());
           ms.extract_sorted(g.hashes.data());
+          g.param_size = param2;
         }
       }
       // genomes below min_len keep an empty hash vector; caller filters
     }
   }
   return res;
+}
+
+// Containment-mode per-genome sketch cap source (SketchInfo.cpp:890-915):
+// the raw FILE BYTE SIZE as an int — for .gz files the gzip trailer ISIZE
+// (uncompressed size mod 2^32, last 4 little-endian bytes), NOT the total
+// sequence length (headers and newlines count).
+static int file_length_for_containment(const char* path) {
+  FILE* fp = fopen(path, "r");
+  if (!fp) return 0;
+  int n = 0;
+  size_t len = strlen(path);
+  if (len >= 2 && strcmp(path + len - 2, "gz") == 0) {
+    if (fseek(fp, -4, SEEK_END) == 0 && fread(&n, sizeof(int), 1, fp) == 1) {
+    } else {
+      n = 0;
+    }
+  } else {
+    fseek(fp, 0, SEEK_END);
+    n = (int)ftell(fp);
+  }
+  fclose(fp);
+  return n;
 }
 
 // Sketch each SEQUENCE of a single FASTA file as its own genome.
@@ -705,8 +733,11 @@ void* rtc_sketch_sequences(const char* file, int64_t min_len, int mode,
           } else {
             int cap = param2;
             if (param3 > 0) {  // containment: per-sequence sketch size
+              // by-sequence mode uses the SEQUENCE length, not file bytes
+              // (SketchInfo.cpp:226,705)
               cap = (int)std::max<int64_t>(g.seq0_len / param3, 100);
             }
+            g.param_size = cap;
             ms.init(param1, cap);
             ms.update(it.rec.seq.data(), g.seq0_len);
             g.hashes.resize(ms.size());
@@ -728,8 +759,10 @@ void* rtc_sketch_sequences(const char* file, int64_t min_len, int mode,
   return res;
 }
 
-// MinHash containment by file: per-genome sketch size = max(total_len/cc, 100).
-// Requires genome length first, so parse once for length then sketch.
+// MinHash containment by file: per-genome sketch size =
+// max(fileByteLength/cc, 100) — the reference derives the cap from the raw
+// file size (gz: trailer ISIZE), not the sequence length
+// (SketchInfo.cpp:890-921).  Parse once for metadata, then sketch.
 void* rtc_sketch_files_minhash_contain(const char** files, int64_t nfiles,
                                        int64_t min_len, int k, int cc,
                                        int threads) {
@@ -764,7 +797,8 @@ void* rtc_sketch_files_minhash_contain(const char** files, int64_t nfiles,
         rd.close();
       }
       if (g.total_len < min_len) continue;
-      int cap = (int)std::max<int64_t>(g.total_len / cc, 100);
+      int cap = std::max(file_length_for_containment(files[i]) / cc, 100);
+      g.param_size = cap;
       ms.init(k, cap);
       {
         FastaReader rd;
@@ -793,6 +827,9 @@ int32_t rtc_result_ok(void* h, int64_t i) {
 }
 int64_t rtc_result_total_len(void* h, int64_t i) {
   return ((SketchResult*)h)->genomes[i].total_len;
+}
+int64_t rtc_result_param_size(void* h, int64_t i) {
+  return ((SketchResult*)h)->genomes[i].param_size;
 }
 int64_t rtc_result_seq0_len(void* h, int64_t i) {
   return ((SketchResult*)h)->genomes[i].seq0_len;
@@ -1429,6 +1466,154 @@ void rtc_greedy_u64(const uint64_t* flat, const int64_t* offs, int64_t n,
                     int64_t prune_interval, int32_t* best_out) {
   greedy_engine<uint64_t>(flat, offs, n, j_min, c_min, containment != 0,
                           prune_interval, best_out);
+}
+
+// Reference-parity MinHash greedy (behavioral spec:
+// MinHashGreedyClusterWithInvertedIndex, src/greedy.cpp:986-1360 — the
+// DEFAULT clust-greedy MinHash path; use_inverted_index defaults true and
+// the CLI11 flag cannot unset it, so the plain greedyCluster loop is
+// unreachable).  Semantics replicated exactly:
+//   * NO sketch sort here — the fresh-genome path runs in input order;
+//     the presketched path is length-sorted by the CALLER
+//     (cmpGenomeSize/cmpSeqSize, sub_command.cpp:2658-2660)
+//   * NO pruning
+//   * first-touch candidate order (query hashes in sorted array order,
+//     posting lists in rep insertion order)
+//   * fast path iff the first min(100, n) genomes are standard-mode with
+//     identical PARAM sketch size (the reference only SAMPLES 100): bound
+//     fixed_common_min = (int)ceil(jmin*2S/(1+jmin)), winner = max common
+//     (strict >, first touch wins ties), NO distance check
+//   * slow path: bound ceil(jmin*min(sizeRef,sizeQry)) [containment] or
+//     ceil(jmin*(sizeRef+sizeQry)/(1+jmin)) [standard]; distance is the
+//     MASH transform -log(2c/(1+c))/k of c=common/min (containment) or of
+//     jaccard=common/(sizeRef+sizeQry-common), clamped to 1.0; accept
+//     dist <= threshold, winner = min dist (strict <, first touch wins)
+//   * sizeRef = the query's ACTUAL kept-hash count; sizeQry = the rep's
+//     PARAM sketch size (getSketchSize()) — asymmetric on purpose
+// param_sizes[i] = per-genome parameter sketch size.  out_best[j] = rep
+// input index or -1 (new representative).
+void rtc_greedy_minhash(const uint64_t* flat, const int64_t* offs, int64_t n,
+                        const int64_t* param_sizes, double threshold,
+                        int kmer_size, int is_containment,
+                        int32_t* out_best) {
+  if (n <= 0) return;
+  const double x = std::exp(-threshold * kmer_size);
+  const double jaccard_min = x / (2.0 - x);
+
+  bool all_fixed = true;
+  bool all_std = !is_containment;
+  const int fixed_size = (int)param_sizes[0];
+  const int64_t sample = std::min<int64_t>(100, n);
+  for (int64_t i = 1; i < sample; ++i) {
+    if (is_containment || (int)param_sizes[i] != fixed_size) {
+      all_fixed = false;
+      all_std = false;
+      break;
+    }
+  }
+  const bool fast = all_fixed && all_std;
+  const int fixed_common_min =
+      fast ? (int)std::ceil(jaccard_min * (2 * fixed_size) /
+                            (1.0 + jaccard_min))
+           : 0;
+
+  RepPostings<uint64_t> index;
+  index.clear((size_t)std::min<int64_t>(
+      std::max<int64_t>(offs[n] / 50, 1 << 16), int64_t(1) << 24));
+  auto add_rep = [&](int64_t g) {
+    for (int64_t p = offs[g]; p < offs[g + 1]; ++p)
+      index.get_or_create(flat[p]).push_back((int32_t)g);
+  };
+  out_best[0] = -1;
+  add_rep(0);
+
+  std::vector<int32_t> cnt((size_t)n, 0);
+  std::vector<int32_t> mark((size_t)n, 0);
+  int32_t cur_mark = 0;
+  std::vector<int32_t> touched;
+  touched.reserve(4096);
+
+  for (int64_t j = 1; j < n; ++j) {
+    const int size_ref = (int)(offs[j + 1] - offs[j]);  // ACTUAL kept count
+    touched.clear();
+    if (++cur_mark == INT32_MAX) {
+      std::fill(mark.begin(), mark.end(), 0);
+      cur_mark = 1;
+    }
+    for (int64_t p = offs[j]; p < offs[j + 1]; ++p) {
+      const std::vector<int32_t>* lst = index.find(flat[p]);
+      if (lst == nullptr) continue;
+      for (int32_t r : *lst) {
+        if (mark[(size_t)r] != cur_mark) {
+          mark[(size_t)r] = cur_mark;
+          cnt[(size_t)r] = 1;
+          touched.push_back(r);
+        } else {
+          cnt[(size_t)r]++;
+        }
+      }
+    }
+
+    int best_common = -1;
+    double best_dist = std::numeric_limits<double>::max();
+    int32_t best_rep = -1;
+    for (int32_t rep : touched) {
+      const int common = cnt[(size_t)rep];
+      const int size_qry = (int)param_sizes[rep];  // PARAM size
+      if (fast) {
+        if (common < fixed_common_min) continue;
+        if (common > best_common) {  // strict: first touch wins ties
+          best_common = common;
+          best_rep = rep;
+        }
+        continue;
+      }
+      int common_min;
+      if (is_containment) {
+        common_min = (int)std::ceil(jaccard_min * std::min(size_ref,
+                                                           size_qry));
+      } else {
+        common_min = (int)std::ceil(jaccard_min * (size_ref + size_qry) /
+                                    (1.0 + jaccard_min));
+      }
+      if (common < common_min) continue;
+      double dist;
+      if (is_containment) {
+        const int min_size = std::min(size_ref, size_qry);
+        if (min_size == 0) {
+          dist = 1.0;
+        } else {
+          const double jac = (double)common / min_size;
+          if (jac >= 1.0) dist = 0.0;
+          else if (jac <= 0.0) dist = 1.0;
+          else {
+            dist = -std::log(2.0 * jac / (1.0 + jac)) / kmer_size;
+            if (dist > 1.0) dist = 1.0;
+          }
+        }
+      } else {
+        const int denom = size_ref + size_qry - common;
+        if (denom == 0) {
+          dist = 0.0;
+        } else {
+          const double jac = (double)common / denom;
+          if (jac >= 1.0) dist = 0.0;
+          else if (jac <= 0.0) dist = 1.0;
+          else {
+            dist = -std::log(2.0 * jac / (1.0 + jac)) / kmer_size;
+            if (dist > 1.0) dist = 1.0;
+          }
+        }
+      }
+      if (dist <= threshold && dist < best_dist) {
+        best_dist = dist;
+        best_rep = rep;
+      }
+    }
+
+    out_best[j] = best_rep;
+    if (best_rep == -1) add_rep(j);
+  }
 }
 
 }  // extern "C"

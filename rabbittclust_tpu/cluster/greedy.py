@@ -320,3 +320,167 @@ def greedy_cluster_batched(
     reps_orig = [int(order[r]) for r in rep_order]
     return GreedyResult(clusters=clusters, representatives=reps_orig,
                         order=order)
+
+
+def minhash_greedy_parity(
+    hashes: List[np.ndarray],
+    param_sizes: List[int],
+    threshold: float,
+    kmer_size: int,
+    is_containment: bool,
+    backend: str = "auto",
+) -> GreedyResult:
+    """Reference-parity MinHash greedy (MinHashGreedyClusterWithInvertedIndex,
+    src/greedy.cpp:986-1360 — the DEFAULT clust-greedy MinHash engine;
+    use_inverted_index defaults true and its CLI11 flag cannot unset it, so
+    the plain greedyCluster loop is unreachable).
+
+    The caller passes genomes in the REFERENCE order: input order for fresh
+    genomes (compute_clusters does NOT sort, sub_command.cpp:2891-2914),
+    length-descending (id ties) for the presketched path
+    (cmpGenomeSize/cmpSeqSize, sub_command.cpp:2658-2660).
+
+    ``param_sizes[i]`` is the reference's per-genome getSketchSize(): the
+    fixed -s value in standard mode, max(fileBytes/cc, 100) for fresh
+    containment sketches, and the contain_compress CONSTANT after a
+    presketched load (Sketch_IO.cpp:333-339).  Bounds and distances use it
+    for the REP side while the query side uses the actual kept-hash count
+    — an asymmetry the reference has and we replicate.
+
+    Semantics (no sort here, no pruning, first-touch candidate order):
+      * fast path iff the first min(100, n) genomes are standard-mode with
+        identical param size (the reference only SAMPLES 100): bound
+        ceil(jmin*2S/(1+jmin)), winner = max common, NO distance check;
+      * slow path: bound ceil(jmin*min(szRef,szQry)) [containment] or
+        ceil(jmin*(szRef+szQry)/(1+jmin)) [standard]; distance = the MASH
+        transform -log(2c/(1+c))/k of c = common/min (containment) or of
+        jaccard (standard), clamped to 1.0; accept dist <= threshold,
+        winner = min dist; strict comparisons -> first touch wins ties.
+    """
+    n = len(hashes)
+    if n == 0:
+        return GreedyResult([], [], np.empty(0, dtype=np.int64))
+    order = np.arange(n, dtype=np.int64)
+    psizes = np.asarray(param_sizes, dtype=np.int64)
+    assert len(psizes) == n
+
+    best = None
+    if backend in ("auto", "native"):
+        best = _minhash_parity_native(hashes, psizes, threshold, kmer_size,
+                                      is_containment)
+        if best is None and backend == "native":
+            raise RuntimeError("native library unavailable")
+    if best is None:
+        best = _minhash_parity_python(hashes, psizes, threshold, kmer_size,
+                                      is_containment)
+
+    representatives = [0]
+    rep2cid = {0: 0}
+    members: List[List[int]] = [[]]
+    for j in range(1, n):
+        b = int(best[j])
+        if b >= 0:
+            members[rep2cid[b]].append(j)
+        else:
+            rep2cid[j] = len(representatives)
+            representatives.append(j)
+            members.append([])
+    clusters = [[rep] + mem for rep, mem in zip(representatives, members)]
+    return GreedyResult(clusters=clusters, representatives=representatives,
+                        order=order)
+
+
+def _minhash_parity_native(hashes, psizes, threshold, kmer_size,
+                           is_containment):
+    import ctypes
+
+    from ..utils import native as native_mod
+    lib = native_mod.load_native()
+    if lib is None or not hasattr(lib, "rtc_greedy_minhash"):
+        return None
+    n = len(hashes)
+    flat = (np.concatenate(hashes).astype(np.uint64)
+            if n else np.empty(0, np.uint64))
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(h) for h in hashes], out=offs[1:])
+    out = np.empty(n, dtype=np.int32)
+    lib.rtc_greedy_minhash(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n),
+        psizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_double(threshold), ctypes.c_int(kmer_size),
+        ctypes.c_int(int(is_containment)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def _minhash_parity_python(hashes, psizes, threshold, kmer_size,
+                           is_containment):
+    """Pure-Python replica of rtc_greedy_minhash (same semantics)."""
+    n = len(hashes)
+    x = math.exp(-threshold * kmer_size)
+    j_min = x / (2.0 - x)
+    sample = min(100, n)
+    fast = (not is_containment) and all(
+        int(psizes[i]) == int(psizes[0]) for i in range(1, sample))
+    fixed_common_min = (int(math.ceil(j_min * (2 * int(psizes[0]))
+                                      / (1.0 + j_min))) if fast else 0)
+
+    index = RepInvertedIndex()
+    index.add_representative(0, hashes[0])
+    best = np.full(n, -1, dtype=np.int32)
+    for j in range(1, n):
+        size_ref = len(hashes[j])
+        touched, counts = index.probe(hashes[j])
+        best_common = -1
+        best_dist = float("inf")
+        best_rep = -1
+        for rep, common in zip(touched, counts):
+            size_qry = int(psizes[rep])
+            if fast:
+                if common < fixed_common_min:
+                    continue
+                if common > best_common:
+                    best_common = common
+                    best_rep = rep
+                continue
+            if is_containment:
+                common_min = int(math.ceil(j_min * min(size_ref, size_qry)))
+            else:
+                common_min = int(math.ceil(
+                    j_min * (size_ref + size_qry) / (1.0 + j_min)))
+            if common < common_min:
+                continue
+            if is_containment:
+                mn = min(size_ref, size_qry)
+                jac = 0.0 if mn == 0 else common / mn
+                if mn == 0:
+                    dist = 1.0
+                elif jac >= 1.0:
+                    dist = 0.0
+                elif jac <= 0.0:
+                    dist = 1.0
+                else:
+                    dist = min(1.0, -math.log(2.0 * jac / (1.0 + jac))
+                               / kmer_size)
+            else:
+                denom = size_ref + size_qry - common
+                if denom == 0:
+                    dist = 0.0
+                else:
+                    jac = common / denom
+                    if jac >= 1.0:
+                        dist = 0.0
+                    elif jac <= 0.0:
+                        dist = 1.0
+                    else:
+                        dist = min(1.0, -math.log(2.0 * jac / (1.0 + jac))
+                                   / kmer_size)
+            if dist <= threshold and dist < best_dist:
+                best_dist = dist
+                best_rep = rep
+        best[j] = best_rep
+        if best_rep == -1:
+            index.add_representative(j, hashes[j])
+    return best

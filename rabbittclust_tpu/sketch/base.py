@@ -26,6 +26,14 @@ class SketchSet:
     total_lens: List[int] = field(default_factory=list)
     num_seqs: List[int] = field(default_factory=list)
     hashes: List[np.ndarray] = field(default_factory=list)  # sorted ascending
+    # MinHash PARAMETER sketch size per genome — what the reference's
+    # getSketchSize() returns: the fixed -s value in standard mode,
+    # max(fileBytes/cc, 100) in containment mode (by-seq: max(len/cc, 100)),
+    # and the contain_compress CONSTANT after a presketched load
+    # (Sketch_IO.cpp:334-339 reconstructs MinHash(kmer, contain_compress)).
+    # The MinHash greedy engine's bounds use this, not len(hashes).
+    # Empty/zeros for KSSD sets.
+    param_sizes: List[int] = field(default_factory=list)
 
     def __len__(self) -> int:
         return len(self.hashes)
@@ -42,7 +50,7 @@ class SketchSet:
 
     def append_genome(self, *, file_name: str, name: str, comment: str,
                       seq0_len: int, total_len: int, num_seqs: int,
-                      hashes: np.ndarray) -> int:
+                      hashes: np.ndarray, param_size: int = 0) -> int:
         self.file_names.append(file_name)
         self.names.append(name)
         self.comments.append(comment)
@@ -50,6 +58,7 @@ class SketchSet:
         self.total_lens.append(total_len)
         self.num_seqs.append(num_seqs)
         self.hashes.append(hashes)
+        self.param_sizes.append(param_size)
         return len(self.hashes) - 1
 
     def reorder(self, order: np.ndarray) -> "SketchSet":
@@ -60,7 +69,7 @@ class SketchSet:
                 file_name=self.file_names[i], name=self.names[i],
                 comment=self.comments[i], seq0_len=self.seq0_lens[i],
                 total_len=self.total_lens[i], num_seqs=self.num_seqs[i],
-                hashes=self.hashes[i])
+                hashes=self.hashes[i], param_size=self.param_sizes[i])
         return out
 
     def sort_by_size_desc(self) -> np.ndarray:
@@ -94,6 +103,16 @@ class SketchSet:
             return out.astype(np.int64)
         return np.lexsort((np.arange(len(self)), -sizes))
 
+    def minhash_presketched_order(self) -> np.ndarray:
+        """Ordering for the presketched MinHash greedy path: the reference
+        sorts LOADED sketches by genome length descending, id ascending on
+        ties (cmpGenomeSize/cmpSeqSize — deterministic comparators,
+        sub_command.cpp:2658-2660; SketchInfo.cpp:35-58).  By-file mode
+        keys on totalSeqLength, by-sequence on the sequence length."""
+        lens = np.asarray(self.total_lens if self.sketch_by_file
+                          else self.seq0_lens, dtype=np.int64)
+        return np.lexsort((np.arange(len(self)), -lens))
+
     def extend(self, other: "SketchSet") -> None:
         assert self.kind == other.kind and self.use64 == other.use64
         self.file_names.extend(other.file_names)
@@ -103,3 +122,4 @@ class SketchSet:
         self.total_lens.extend(other.total_lens)
         self.num_seqs.extend(other.num_seqs)
         self.hashes.extend(other.hashes)
+        self.param_sizes.extend(other.param_sizes)

@@ -46,6 +46,25 @@ def _bottom_s(hashes: np.ndarray, s: int) -> np.ndarray:
     return u[:s] if s > 0 else u
 
 
+def _file_length_for_containment(path: str) -> int:
+    """Per-genome containment cap source (SketchInfo.cpp:890-915): the raw
+    FILE BYTE SIZE as a C int — for .gz the gzip trailer ISIZE (uncompressed
+    size mod 2^32, read as SIGNED int32), not the sequence length."""
+    import struct
+    if path.endswith("gz"):
+        try:
+            with open(path, "rb") as f:
+                f.seek(-4, os.SEEK_END)
+                return struct.unpack("<i", f.read(4))[0]
+        except OSError:
+            return 0
+    try:
+        n = os.stat(path).st_size
+    except OSError:
+        return 0
+    return int(np.int32(n))  # reference stores (int)ftell
+
+
 def sketch_files_minhash(files, min_len: int, p: MinHashParams,
                          threads: int = 0) -> SketchSet:
     threads = threads or (os.cpu_count() or 1)
@@ -73,7 +92,8 @@ def sketch_files_minhash(files, min_len: int, p: MinHashParams,
             ss.append_genome(
                 file_name=g["file"], name=g["name"], comment=g["comment"],
                 seq0_len=g["seq0_len"], total_len=g["total_len"],
-                num_seqs=g["num_seqs"], hashes=g["hashes"])
+                num_seqs=g["num_seqs"], hashes=g["hashes"],
+                param_size=g["param_size"])
         return ss
     from ..io.fasta import read_fasta
     for fpath in files:
@@ -83,14 +103,15 @@ def sketch_files_minhash(files, min_len: int, p: MinHashParams,
             continue
         parts = [_mh_numpy_hashes(s, p.kmer_size) for _, _, s in records]
         allh = np.concatenate(parts) if parts else np.empty(0, np.uint64)
-        s = (max(total // p.contain_compress, 100) if p.is_containment
-             else p.sketch_size)
+        s = (max(_file_length_for_containment(fpath) // p.contain_compress,
+                 100)
+             if p.is_containment else p.sketch_size)
         h = _bottom_s(allh, s)
         name, comment, seq0 = records[0]
         ss.append_genome(
             file_name=fpath, name=name or "noName",
             comment=comment or "noName", seq0_len=len(seq0), total_len=total,
-            num_seqs=len(records), hashes=h)
+            num_seqs=len(records), hashes=h, param_size=s)
     return ss
 
 
@@ -114,7 +135,7 @@ def sketch_sequences_minhash(input_file: str, min_len: int, p: MinHashParams,
             ss.append_genome(
                 file_name=g["file"], name=g["name"], comment=g["comment"],
                 seq0_len=g["seq0_len"], total_len=g["total_len"], num_seqs=1,
-                hashes=g["hashes"])
+                hashes=g["hashes"], param_size=g["param_size"])
         return ss
     from ..io.fasta import read_fasta
     for name, comment, seq in read_fasta(input_file):
@@ -126,5 +147,6 @@ def sketch_sequences_minhash(input_file: str, min_len: int, p: MinHashParams,
         ss.append_genome(
             file_name=input_file, name=name or "noName",
             comment=comment or "noName", seq0_len=len(seq),
-            total_len=len(seq), num_seqs=1, hashes=_bottom_s(allh, s))
+            total_len=len(seq), num_seqs=1, hashes=_bottom_s(allh, s),
+            param_size=s)
     return ss

@@ -208,10 +208,16 @@ def load_minhash_sketches(folder: str):
         (cnt,) = struct.unpack_from("<Q", data, off); off += 8
         h = np.frombuffer(data, dtype=np.uint64, count=cnt, offset=off).copy()
         off += cnt * 8
+        # Reference load quirk (Sketch_IO.cpp:333-339): loaded containment
+        # sketches are reconstructed as MinHash(kmer, contain_compress) —
+        # getSketchSize() then returns the contain_compress CONSTANT, not
+        # the original per-genome cap.  The presketched greedy path feeds
+        # that degenerate size into its bounds/distances; replicate it.
         ss.append_genome(
             file_name=info["file_names"][i], name=info["names"][i],
             comment=info["comments"][i], seq0_len=info["seq0_lens"][i],
-            total_len=info["total_lens"][i], num_seqs=1, hashes=h)
+            total_len=info["total_lens"][i], num_seqs=1, hashes=h,
+            param_size=param)
     return ss, mp
 
 

@@ -84,7 +84,8 @@ def load_native():
         getattr(lib, fn).restype = ctypes.c_int32
         getattr(lib, fn).argtypes = [ctypes.c_void_p, ctypes.c_int64]
     for fn in ("rtc_result_total_len", "rtc_result_seq0_len",
-               "rtc_result_num_seqs", "rtc_result_sketch_size"):
+               "rtc_result_num_seqs", "rtc_result_sketch_size",
+               "rtc_result_param_size"):
         getattr(lib, fn).restype = ctypes.c_int64
         getattr(lib, fn).argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.rtc_result_hashes.argtypes = [ctypes.c_void_p, ctypes.c_int64, _c_u64p]
@@ -101,6 +102,9 @@ def load_native():
     lib.rtc_kssd_extract.argtypes = [ctypes.c_void_p, _c_u64p]
     lib.rtc_kssd_destroy.argtypes = [ctypes.c_void_p]
     lib.rtc_stdsort_size_desc.argtypes = [_c_i64p, ctypes.c_int64, _c_i32p]
+    lib.rtc_greedy_minhash.argtypes = [
+        _c_u64p, _c_i64p, ctypes.c_int64, _c_i64p, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int, _c_i32p]
     lib.rtc_scan_lengths.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, _c_i64p, ctypes.c_int]
     for fn in ("rtc_mst_u32", "rtc_mst_u64"):
@@ -202,6 +206,7 @@ class SketchResultHandle:
             "seq0_len": int(lib.rtc_result_seq0_len(p, i)),
             "total_len": int(lib.rtc_result_total_len(p, i)),
             "num_seqs": int(lib.rtc_result_num_seqs(p, i)),
+            "param_size": int(lib.rtc_result_param_size(p, i)),
             "hashes": hashes,
         }
 

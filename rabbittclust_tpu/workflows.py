@@ -537,9 +537,17 @@ def clust_from_genomes(input_file: str, output_file: str,
 def compute_minhash_clusters(ss: SketchSet, p: MinHashParams,
                              threshold: float, threads: int,
                              output_file: str, opts: OutputOptions,
-                             folder: Optional[str], module: str):
+                             folder: Optional[str], module: str,
+                             presketched: bool = False):
     if module == "greedy":
-        order = ss.sort_by_size_desc()
+        # Reference ordering quirk: the FRESH-genome path runs greedy in
+        # input order (compute_clusters never sorts,
+        # sub_command.cpp:2891-2914); only the PRESKETCHED path sorts, by
+        # genome length desc (sub_command.cpp:2658-2660).
+        if presketched:
+            order = ss.minhash_presketched_order()
+        else:
+            order = np.arange(len(ss), dtype=np.int64)
         ss2 = ss.reorder(order)
         if opts.use_device:
             from .ops.greedy_device import greedy_cluster_device
@@ -547,10 +555,10 @@ def compute_minhash_clusters(ss: SketchSet, p: MinHashParams,
                                          presorted=True,
                                          is_containment=p.is_containment)
         else:
-            gres = greedy_cluster(ss2.hashes, threshold, p.kmer_size,
-                                  presorted=True,
-                                  is_containment=p.is_containment,
-                                  progress=True)
+            from .cluster.greedy import minhash_greedy_parity
+            gres = minhash_greedy_parity(ss2.hashes, ss2.param_sizes,
+                                         threshold, p.kmer_size,
+                                         p.is_containment)
         write_cluster_file(output_file, gres.clusters, ss2)
         log(f"-----the number of clusters is: {len(gres.clusters)}")
         if opts.save_rep and folder and not opts.no_save:
@@ -580,4 +588,5 @@ def clust_from_sketches(folder_path: str, output_file: str, threshold: float,
     ss, p = sketch_io.load_minhash_sketches(folder_path)
     log(f"-----load {len(ss)} minhash sketches from: {folder_path}")
     return compute_minhash_clusters(ss, p, threshold, threads, output_file,
-                                    opts, folder_path, module)
+                                    opts, folder_path, module,
+                                    presketched=True)

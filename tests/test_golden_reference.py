@@ -250,6 +250,95 @@ def test_minhash_greedy_byte_identical(oracle, genomes, tmp_path):
     assert same_bytes(str(ref_d / "r.cluster"), str(our_d / "o.cluster"))
 
 
+@pytest.fixture(scope="module")
+def jitter_genomes(tmp_path_factory):
+    """Varied per-genome lengths -> varied containment caps and a
+    non-trivial length-desc presketched sort."""
+    from tests.helpers import make_clustered_genomes
+    tmp = tmp_path_factory.mktemp("golden_jitter")
+    return make_clustered_genomes(tmp, n_clusters=3, per_cluster=4,
+                                  length=25000, mutation=0.008,
+                                  length_jitter=6000, seed=99)
+
+
+def test_minhash_greedy_containment_byte_identical(oracle, jitter_genomes,
+                                                   tmp_path):
+    """-c containment (the greedy DEFAULT when -s is absent): per-genome
+    caps from raw FILE BYTES (SketchInfo.cpp:890-921), slow-path bounds
+    with asymmetric rep-param/query-actual sizes (greedy.cpp:1100-1240)."""
+    ref_d = tmp_path / "ref"
+    our_d = tmp_path / "our"
+    ref_d.mkdir()
+    our_d.mkdir()
+    run_ref(oracle, "greedy", ["-l", "-i", jitter_genomes.list_file,
+                               "-o", "r.cluster", "-d", "0.05", "-k", "21",
+                               "-c", "200"], str(ref_d))
+    time.sleep(1.1)
+    run_ours("clust_greedy", ["-l", "-i", jitter_genomes.list_file,
+                              "-o", "o.cluster", "-d", "0.05", "-k", "21",
+                              "-c", "200"], str(our_d))
+    assert same_bytes(str(ref_d / "r.cluster"), str(our_d / "o.cluster"))
+
+
+def test_minhash_greedy_containment_gz_byte_identical(oracle, jitter_genomes,
+                                                      tmp_path):
+    """.gz inputs: the containment cap reads the gzip trailer ISIZE as a
+    SIGNED int32, not the decompressed length (SketchInfo.cpp:895-903)."""
+    import gzip
+    import shutil
+    gz_dir = tmp_path / "gz"
+    gz_dir.mkdir()
+    gz_files = []
+    for f in jitter_genomes.files:
+        dst = gz_dir / (os.path.basename(f) + ".gz")
+        with open(f, "rb") as fi, gzip.open(str(dst), "wb") as fo:
+            shutil.copyfileobj(fi, fo)
+        gz_files.append(str(dst))
+    lst = tmp_path / "gz.list"
+    lst.write_text("\n".join(gz_files) + "\n")
+    ref_d = tmp_path / "ref"
+    our_d = tmp_path / "our"
+    ref_d.mkdir()
+    our_d.mkdir()
+    run_ref(oracle, "greedy", ["-l", "-i", str(lst), "-o", "r.cluster",
+                               "-d", "0.05", "-k", "21", "-c", "200"],
+            str(ref_d))
+    time.sleep(1.1)
+    run_ours("clust_greedy", ["-l", "-i", str(lst), "-o", "o.cluster",
+                              "-d", "0.05", "-k", "21", "-c", "200"],
+             str(our_d))
+    assert same_bytes(str(ref_d / "r.cluster"), str(our_d / "o.cluster"))
+
+
+@pytest.mark.parametrize("extra", [["-s", "300"], ["-c", "200"]],
+                         ids=["standard", "containment"])
+def test_minhash_greedy_presketched_byte_identical(oracle, jitter_genomes,
+                                                   tmp_path, extra):
+    """--presketched greedy: loader length-sorts desc with id tiebreak
+    (sub_command.cpp:2658-2660) before clustering; containment loads
+    degrade getSketchSize() to the contain_compress constant
+    (Sketch_IO.cpp:333-339) — both must match byte-for-byte."""
+    ref_d = tmp_path / "ref"
+    our_d = tmp_path / "our"
+    ref_d.mkdir()
+    our_d.mkdir()
+    run_ref(oracle, "greedy", ["-l", "-i", jitter_genomes.list_file,
+                               "-o", "r0.cluster", "-d", "0.05", "-k", "21",
+                               *extra], str(ref_d))
+    rf = _run_folder(str(ref_d))
+    run_ref(oracle, "greedy", ["--presketched", rf, "-o", "r1.cluster",
+                               "-d", "0.05"], str(ref_d))
+    time.sleep(1.1)
+    run_ours("clust_greedy", ["-l", "-i", jitter_genomes.list_file,
+                              "-o", "o0.cluster", "-d", "0.05", "-k", "21",
+                              *extra], str(our_d))
+    of = _run_folder(str(our_d))
+    run_ours("clust_greedy", ["--presketched", of, "-o", "o1.cluster",
+                              "-d", "0.05"], str(our_d))
+    assert same_bytes(str(ref_d / "r0.cluster"), str(our_d / "o0.cluster"))
+    assert same_bytes(str(ref_d / "r1.cluster"), str(our_d / "o1.cluster"))
+
+
 def test_append_byte_identical(oracle, genomes, tmp_path):
     """--append with --presketched (classic path: pre-MST merge +
     new-vs-all candidate generation)."""
