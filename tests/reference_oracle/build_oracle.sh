@@ -33,4 +33,18 @@ g++ $FXFLAGS -D Timer -o "$OUT/clust-mst-fx" $SRCS -lz -lgomp -lpthread
 g++ $FXFLAGS -D Timer -D GREEDY_CLUST -o "$OUT/clust-greedy-fx" $SRCS \
     "$REF/src/greedy.cpp" -lz -lgomp -lpthread
 
+# Benchmark-evaluation tools (benchmark/evaluation/src): precalLabel and
+# mapGenome build as-is; calPurity links groundTruth.cpp; analysisPurity /
+# checkTaxonomyStatus use the boost::split functional stub in boost/.
+EVAL="$REF/benchmark/evaluation/src"
+EVALFLAGS="-O2 -w -I$HERE -I$EVAL"
+g++ $EVALFLAGS -o "$OUT/precalLabel" "$EVAL/precalLabel.cpp" -lz -fopenmp
+g++ $EVALFLAGS -o "$OUT/mapGenome" "$EVAL/mapGenome.cpp" -lz -fopenmp
+g++ $EVALFLAGS -o "$OUT/calPurity" "$EVAL/calPurity.cpp" \
+    "$EVAL/groundTruth.cpp" -lz -fopenmp
+g++ $EVALFLAGS -o "$OUT/analysisPurity" "$EVAL/analysisPurity.cpp" \
+    -lz -fopenmp
+g++ $EVALFLAGS -o "$OUT/checkTaxonomyStatus" "$EVAL/checkTaxonomyStatus.cpp" \
+    -lz -fopenmp
+
 echo "oracle binaries in $OUT"
