@@ -15,6 +15,11 @@ def main(argv=None) -> int:
     validate_common(args, "dbscan")
 
     if not args.is_fast:
+        if getattr(args, "minhash_dbscan", False):
+            return _minhash_main(args)
+        # reference parity: main.cpp:481-484 (the MinHash engine exists at
+        # dbscan.cpp:987 but is unreachable there; our --minhash flag
+        # exposes it)
         print("ERROR: clust-dbscan requires --fast option", file=sys.stderr)
         return 1
     print("-----Using DBSCAN clustering", file=sys.stderr)
@@ -54,6 +59,44 @@ def main(argv=None) -> int:
     result = dbscan_cluster(ss.hashes, args.eps, args.minpts, kp.kmer_size,
                             knn_k=args.knn_k, max_posting=args.max_posting,
                             use_device=args.use_device)
+    write_dbscan_result(result, ss, args.output, args.eps, args.minpts)
+    print(f"-----write the cluster result into: {args.output}",
+          file=sys.stderr)
+    print(f"-----clusters: {result.num_clusters}, noise: "
+          f"{result.num_noise}", file=sys.stderr)
+    return 0
+
+
+def _minhash_main(args) -> int:
+    """DBSCAN over MinHash sketches: the reference's latent MinHashDBSCAN
+    engine (dbscan.cpp:987-1097), golden byte-identical via the
+    minhash-dbscan-oracle driver.  Sketching follows the reference's
+    default convention (use_inverted_index=true keeps input-order IDs,
+    SketchInfo.cpp:982-989)."""
+    from ..sketch.minhash import (MinHashParams, sketch_files_minhash,
+                                  sketch_sequences_minhash)
+    from ..cluster.dbscan import minhash_dbscan_cluster
+    from ..io.fasta import read_file_list
+
+    print("-----Using DBSCAN clustering (MinHash)", file=sys.stderr)
+    print(f"-----DBSCAN parameters: eps={args.eps}, minPts={args.minpts}",
+          file=sys.stderr)
+    kmer_size = args.kmer_size or 21
+    sketch_size = args.sketch_size or 1000
+    is_containment = args.contain_compress is not None
+    p = MinHashParams(kmer_size=kmer_size, sketch_size=sketch_size,
+                      is_containment=is_containment,
+                      contain_compress=args.contain_compress or 1000)
+    if args.sketch_by_file:
+        ss = sketch_files_minhash(read_file_list(args.input), args.min_len,
+                                  p, args.threads)
+    else:
+        ss = sketch_sequences_minhash(args.input, args.min_len, p,
+                                      args.threads)
+    print(f"-----the size of sketches (genomes) is: {len(ss)}",
+          file=sys.stderr)
+    result = minhash_dbscan_cluster(ss.hashes, args.eps, args.minpts,
+                                    kmer_size, is_containment=is_containment)
     write_dbscan_result(result, ss, args.output, args.eps, args.minpts)
     print(f"-----write the cluster result into: {args.output}",
           file=sys.stderr)

@@ -167,6 +167,12 @@ def base_parser(module: str) -> argparse.ArgumentParser:
                        default=0,
                        help="drop hash keys with posting size > max-posting "
                             "(0=disabled)")
+        p.add_argument("--minhash", dest="minhash_dbscan",
+                       action="store_true",
+                       help="run DBSCAN over MinHash sketches without "
+                            "--fast (the reference ships this engine, "
+                            "dbscan.cpp:987, but its CLI cannot reach it; "
+                            "extension flag)")
     return p
 
 

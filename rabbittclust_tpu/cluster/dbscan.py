@@ -156,6 +156,95 @@ def dbscan_cluster(hashes, eps: float, min_pts: int, kmer_size: int,
     return DBSCANResult(clusters=clusters, noise=noise, labels=labels)
 
 
+def _minhash_neighbor_lists(hashes, eps: float, kmer_size: int,
+                            is_containment: bool) -> List[np.ndarray]:
+    """Adjacency under the MinHash mash-distance criterion
+    (reference findNeighborsMinHash, dbscan.cpp:685-719): dist <= eps with
+    dist from MinHash::distance (or containDistance when isContainment),
+    self excluded.  Distance formulas mirror RabbitSketch exactly:
+    j = |A∩B| / |A∪B| (containment: / min(|A|,|B|)); j==1 -> 0, j==0 -> 1,
+    else -log(2j/(1+j))/k (containment: -log(j)/k), clamped at 1.0."""
+    n = len(hashes)
+    sizes = np.array([len(h) for h in hashes], dtype=np.int64)
+    adj: List[List[int]] = [[] for _ in range(n)]
+    from .mst import native_pair_counts
+    nat = native_pair_counts(hashes)  # all pairs with common >= 1
+    pair_iter = [nat] if nat is not None else candidate_pair_counts(hashes)
+    for i, j, c in pair_iter:
+        cc = c.astype(np.float64)
+        if is_containment:
+            denom = np.minimum(sizes[i], sizes[j]).astype(np.float64)
+        else:
+            denom = (sizes[i] + sizes[j]).astype(np.float64) - cc
+        jac = np.where(denom > 0, cc / np.maximum(denom, 1.0), 0.0)
+        with np.errstate(divide="ignore"):
+            if is_containment:
+                dist = -np.log(jac) / kmer_size
+            else:
+                dist = -np.log(2.0 * jac / (1.0 + jac)) / kmer_size
+        dist = np.minimum(dist, 1.0)
+        dist = np.where(jac >= 1.0, 0.0, np.where(jac <= 0.0, 1.0, dist))
+        ok = dist <= eps
+        for a, b in zip(i[ok].tolist(), j[ok].tolist()):
+            adj[a].append(b)
+            adj[b].append(a)
+    if eps >= 1.0:
+        # j == 0 pairs have dist exactly 1.0 <= eps: everything neighbors
+        # everything (including common == 0 pairs the index never yields)
+        full = np.arange(n, dtype=np.int64)
+        return [np.delete(full, i) for i in range(n)]
+    return [np.asarray(sorted(set(a)), dtype=np.int64) for a in adj]
+
+
+def minhash_dbscan_cluster(hashes, eps: float, min_pts: int, kmer_size: int,
+                           is_containment: bool = False) -> DBSCANResult:
+    """The reference's latent MinHashDBSCAN (dbscan.cpp:987-1097 —
+    CLI-unreachable there because main.cpp:481-484 requires --fast).
+
+    Semantics differ from the KSSD engine in two ways we replicate:
+    minPts counts neighbors EXCLUDING the point itself
+    (``neighbors.size() < minPts``, dbscan.cpp:1017), and the neighbor
+    test is mash-distance <= eps with no 1e-12 tolerance."""
+    n = len(hashes)
+    adj = _minhash_neighbor_lists(hashes, eps, kmer_size, is_containment)
+    labels = np.full(n, -1, dtype=np.int64)  # -1 unvisited, -2 noise
+    cluster_id = 0
+    for i in range(n):
+        if labels[i] != -1:
+            continue
+        neighbors = adj[i]
+        if len(neighbors) < min_pts:  # self EXCLUDED (dbscan.cpp:1017)
+            labels[i] = -2
+            continue
+        labels[i] = cluster_id
+        queue = deque(neighbors.tolist())
+        enqueued = set(neighbors.tolist())
+        while queue:
+            q = queue.popleft()
+            if labels[q] == -2:
+                labels[q] = cluster_id  # border point reclaimed from noise
+                continue
+            if labels[q] != -1:
+                continue
+            labels[q] = cluster_id
+            q_nbrs = adj[q]
+            if len(q_nbrs) >= min_pts:  # q is core: expand
+                for v in q_nbrs.tolist():
+                    if labels[v] in (-1, -2) and v not in enqueued:
+                        enqueued.add(v)
+                        queue.append(v)
+        cluster_id += 1
+    clusters: List[List[int]] = [[] for _ in range(cluster_id)]
+    noise: List[int] = []
+    for i in range(n):
+        if labels[i] == -2:
+            noise.append(i)
+        elif labels[i] >= 0:
+            clusters[labels[i]].append(i)
+    clusters = [c for c in clusters if c]
+    return DBSCANResult(clusters=clusters, noise=noise, labels=labels)
+
+
 def write_dbscan_result(result: DBSCANResult, ss, output_file: str,
                         eps: float, min_pts: int) -> None:
     """printKssdDBSCANResult format (dbscan.cpp:1212-1278): clusters, then

@@ -25,6 +25,12 @@ g++ $CXXFLAGS -D Timer -D GREEDY_CLUST -o "$OUT/clust-greedy" $SRCS \
 g++ $CXXFLAGS -D Timer -D DBSCAN_CLUST -o "$OUT/clust-dbscan" $SRCS \
     "$REF/src/dbscan.cpp" -lz -lgomp -lpthread
 
+# Latent MinHashDBSCAN driver (dbscan.cpp:987 is unreachable from the
+# reference CLI; this driver calls it directly — see the .cpp header)
+g++ $CXXFLAGS -o "$OUT/minhash-dbscan-oracle" \
+    "$HERE/minhash_dbscan_oracle.cpp" "$REF/src/SketchInfo.cpp" \
+    "$REF/src/dbscan.cpp" -lz -lgomp -lpthread
+
 # RabbitFX-enabled flavors (functional stub in rabbitfx/): unlock the
 # reference's KSSD by-sequence path (sketchSequencesWithKssd is only
 # compiled under RABBIT_FX, SketchInfo.cpp:563-640)

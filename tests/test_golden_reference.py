@@ -33,6 +33,8 @@ def oracle():
         # RabbitFX-stub flavors: unlock the KSSD by-sequence path
         "mst-fx": os.path.join(ORACLE_DIR, "clust-mst-fx"),
         "greedy-fx": os.path.join(ORACLE_DIR, "clust-greedy-fx"),
+        # driver for the latent MinHashDBSCAN engine (dbscan.cpp:987)
+        "mh-dbscan": os.path.join(ORACLE_DIR, "minhash-dbscan-oracle"),
     }
     if not all(os.path.exists(p) for p in tools.values()):
         if not os.path.exists("/root/reference/src/main.cpp"):
@@ -503,6 +505,48 @@ def test_dbscan_byte_identical(oracle, genomes, tmp_path):
                                   *extra], str(our_d))
         assert same_bytes(str(ref_d / "r.cluster"),
                           str(our_d / "o.cluster")), suffix
+
+
+def test_minhash_dbscan_byte_identical(oracle, genomes, tmp_path):
+    """The reference's LATENT MinHashDBSCAN engine (dbscan.cpp:987-1097 —
+    unreachable from its CLI, main.cpp:481-484) vs our clust-dbscan
+    --minhash: plain, noise-producing minPts, tight eps, and containment
+    mode, all byte-identical."""
+    for tag, oargs, pargs in (
+            ("a", ["0.05", "3", "21", "1000"],
+             ["--eps", "0.05", "--minpts", "3"]),
+            ("b", ["0.05", "6", "21", "1000"],
+             ["--eps", "0.05", "--minpts", "6"]),
+            ("c", ["0.01", "2", "21", "1000"],
+             ["--eps", "0.01", "--minpts", "2"]),
+            ("d", ["0.05", "3", "21", "1000", "contain", "1000"],
+             ["--eps", "0.05", "--minpts", "3", "-c", "1000"])):
+        ref_out = tmp_path / f"r{tag}.cluster"
+        our_out = tmp_path / f"o{tag}.cluster"
+        r = subprocess.run([oracle["mh-dbscan"], genomes.list_file,
+                            str(ref_out), *oargs], capture_output=True,
+                           text=True)
+        assert r.returncode == 0, r.stderr[-1500:]
+        run_ours("clust_dbscan", ["--minhash", "-l", "-i",
+                                  genomes.list_file, "-o", str(our_out),
+                                  "-e", *pargs], str(tmp_path))
+        assert same_bytes(str(ref_out), str(our_out)), tag
+    # by-sequence: concatenated multi-record FASTA, input-order IDs
+    cat = tmp_path / "all.fna"
+    with open(cat, "w") as f:
+        for fn in genomes.files:
+            with open(fn) as src:
+                f.write(src.read())
+    ref_out = tmp_path / "rs.cluster"
+    our_out = tmp_path / "os.cluster"
+    r = subprocess.run([oracle["mh-dbscan"], str(cat), str(ref_out),
+                        "0.05", "3", "21", "1000", "byseq"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-1500:]
+    run_ours("clust_dbscan", ["--minhash", "-i", str(cat), "-o",
+                              str(our_out), "-e", "--eps", "0.05",
+                              "--minpts", "3"], str(tmp_path))
+    assert same_bytes(str(ref_out), str(our_out))
 
 
 def test_builddb_byte_identical(oracle, genomes, tmp_path):
