@@ -78,16 +78,23 @@ def int8_peak_ops(device_kind: str):
 
 
 def measure_filter_compute(hashes, threshold, kmer_size, reps=8,
-                           bits=8192):
+                           bits=8192, row_block=8192):
     """Device-compute-only throughput of the MXU candidate filter (staged
-    arrays, no host pulls; amortizes dispatch latency over reps)."""
+    arrays, no host pulls; amortizes dispatch latency over reps).
+
+    Measures the production dense-path program (_batched_mask_fn: bf16
+    matmul + bound mask + bit-pack, NO index compaction) over the full
+    triangular tile sweep — the same device work candidate_pair_blocks
+    dispatches.  Counted pairs = the n_pad^2/2 unordered pairs the sweep
+    filters per rep."""
     import math
     import jax
     import jax.numpy as jnp
     from rabbittclust_tpu.ops import bitmap as bm
     from rabbittclust_tpu.distance.mash import (
         min_jaccard_for_threshold, size_ratio_limit)
-    xp, coll = bm.pack_bitmaps_packed(hashes, bits=bits)
+    rb = min(row_block, max(128, 1 << max(len(hashes) - 1, 1).bit_length()))
+    xp, coll = bm.pack_bitmaps_packed(hashes, bits=bits, pad_n_to=rb)
     n_pad = xp.shape[0]
     sizes = np.zeros(n_pad, dtype=np.int32)
     sizes[: len(hashes)] = [len(h) for h in hashes]
@@ -97,24 +104,34 @@ def measure_filter_compute(hashes, threshold, kmer_size, reps=8,
     xd = jax.device_put(jnp.asarray(xp))
     cd = jax.device_put(jnp.asarray(coll))
     sd = jax.device_put(jnp.asarray(sizes))
-    cap = max(1 << 20, n_pad * n_pad // 64)
-    filt = bm._jitted_filter()
+    filt = bm._jitted_batched_mask()
+    tiles = [(r0, c0) for r0 in range(0, n_pad, rb)
+             for c0 in range(0, r0 + rb, rb)]
+    batch_k = 16
+    batches = [tiles[i:i + batch_k] for i in range(0, len(tiles), batch_k)]
 
-    def args(i):
-        # distinct traced scalar per rep: same compiled program, but no
-        # possibility of any duplicate-dispatch shortcut skewing timing
-        return (xd, xd, cd, cd, sd, sd, jnp.int32(i), jnp.int32(0),
-                jnp.float32(j_min), jnp.float32(1 + j_min),
-                jnp.float32(c_min), jnp.int32(radio), False, cap)
+    def sweep():
+        out = None
+        for batch in batches:
+            r0s = np.zeros(batch_k, dtype=np.int32)
+            c0s = np.zeros(batch_k, dtype=np.int32)
+            val = np.zeros(batch_k, dtype=np.int32)
+            for t, (r0, c0) in enumerate(batch):
+                r0s[t], c0s[t], val[t] = r0, c0, 1
+            out = filt(xd, cd, sd, jnp.asarray(r0s), jnp.asarray(c0s),
+                       jnp.asarray(val), jnp.float32(j_min),
+                       jnp.float32(1 + j_min), jnp.float32(c_min),
+                       jnp.int32(radio), False, rb)
+        return out
 
-    filt(*args(reps)).block_until_ready()  # warm
+    sweep()[0].block_until_ready()  # warm / compile
     t0 = time.perf_counter()
     out = None
-    for i in range(reps):
-        out = filt(*args(i))
-    out.block_until_ready()  # in-order execution: all reps done
+    for _ in range(reps):
+        out = sweep()
+    out[0].block_until_ready()  # in-order execution: all reps done
     dt = (time.perf_counter() - t0) / reps
-    return n_pad * n_pad / dt
+    return n_pad * n_pad / 2 / dt
 
 
 def partition_digest(clusters):

@@ -25,6 +25,7 @@ import ctypes
 import functools
 import math
 import os
+import time
 from typing import List, Tuple
 
 import numpy as np
@@ -164,6 +165,288 @@ def _jitted_filter():
                    static_argnames=("is_containment", "cap"))
 
 
+def _tile_mask(xd, cd, sd, r0, c0, rb, jmin_num, jmin_den, c_min, radio,
+               is_containment):
+    """Safe candidate mask for tile (rows r0:r0+rb x cols c0:c0+rb) of the
+    resident packed-signature matrix (shared by the index- and mask-pull
+    batched programs)."""
+    import jax
+    import jax.numpy as jnp
+
+    xi = _unpack_bits_device(jax.lax.dynamic_slice(
+        xd, (r0, jnp.int32(0)), (rb, xd.shape[1])))
+    xj = _unpack_bits_device(jax.lax.dynamic_slice(
+        xd, (c0, jnp.int32(0)), (rb, xd.shape[1])))
+    ci = jax.lax.dynamic_slice(cd, (r0,), (rb,))
+    cj = jax.lax.dynamic_slice(cd, (c0,), (rb,))
+    si = jax.lax.dynamic_slice(sd, (r0,), (rb,))
+    sj = jax.lax.dynamic_slice(sd, (c0,), (rb,))
+    shared = jax.lax.dot_general(
+        xi, xj, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+    si_c = si[:, None].astype(jnp.float32)
+    s_c = sj[None, :].astype(jnp.float32)
+    if is_containment:
+        mn = jnp.minimum(si_c, s_c)
+        common_min = jnp.floor(c_min * mn).astype(jnp.int32) - 1
+    else:
+        common_min = jnp.floor(
+            jmin_num * (si_c + s_c) / jmin_den).astype(jnp.int32) - 1
+    thresh = common_min - jnp.minimum(ci[:, None], cj[None, :])
+    mni = jnp.minimum(si[:, None], sj[None, :])
+    mxi = jnp.maximum(si[:, None], sj[None, :])
+    ratio_ok = (mni > 0) & (mxi <= radio * mni)
+    jidx = jax.lax.broadcasted_iota(jnp.int32, (rb, rb), 1) + c0
+    iidx = jax.lax.broadcasted_iota(jnp.int32, (rb, rb), 0) + r0
+    return (shared >= thresh) & ratio_ok & (jidx < iidx)
+
+
+def _batched_mask_fn(xd, cd, sd, r0s, c0s, valid, jmin_num, jmin_den,
+                     c_min, radio, is_containment, rb):
+    """Batch filter WITHOUT device-side index compaction: each tile returns
+    its candidate mask bit-PACKED (rb x rb//8 uint8) plus its count.
+
+    Measured on the v5e: the filter matmul+mask is ~9 ms per 8192^2 tile
+    (~32% MXU MFU) while jnp.nonzero's compaction costs ~610 ms — scatter,
+    sort and gather formulations all land 200-700 ms because TPUs do
+    data-dependent movement poorly.  Bit-packing instead is pure vector ALU
+    (~free), moves rb^2/8 bytes per tile over the link regardless of
+    density, and the host decodes with np.unpackbits+flatnonzero (~0.1 s /
+    64M pairs on 2 cores, overlapped with the next batch's device work).
+    The index-compaction program (_batched_filter_fn) remains the better
+    choice when candidates are sparse: 4*count bytes << rb^2/8.
+    candidate_pair_blocks switches adaptively."""
+    import jax
+    import jax.numpy as jnp
+
+    def compute_tile(r0, c0):
+        mask = _tile_mask(xd, cd, sd, r0, c0, rb, jmin_num, jmin_den,
+                          c_min, radio, is_containment)
+        count = jnp.sum(mask, dtype=jnp.int32)
+        bits = mask.reshape(rb, rb // 8, 8).astype(jnp.int32)
+        weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+        packed = jnp.sum(bits * weights, axis=2).astype(jnp.uint8)
+        return count, packed
+
+    def body(_, tile):
+        r0, c0, ok = tile
+        count, packed = jax.lax.cond(
+            ok > 0,
+            lambda: compute_tile(r0, c0),
+            lambda: (jnp.int32(0),
+                     jnp.zeros((rb, rb // 8), dtype=jnp.uint8)))
+        return 0, (count, packed)
+
+    _, (counts, packs) = jax.lax.scan(body, 0, (r0s, c0s, valid))
+    return counts, packs
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_batched_mask():
+    import jax
+    return jax.jit(_batched_mask_fn,
+                   static_argnames=("is_containment", "rb"))
+
+
+def _batched_filter_fn(xd, cd, sd, ts, r0s, c0s, valid, jmin_num, jmin_den,
+                       c_min, radio, is_containment, cap_tile, rb):
+    """ONE device dispatch for a whole batch of (rb x rb) pair tiles.
+
+    lax.scan over tile descriptors: each step dynamic-slices its row/column
+    panels out of the resident signature matrix, runs the bf16 MXU filter,
+    and appends its compacted candidate indices into a shared buffer at the
+    running total (dynamic_update_slice).  Encodes flat = t*rb^2 + local so
+    the host decodes with the batch's (r0, c0) list.  Returns one fused
+    int32 array [total, max_tile_count, buffer(k*cap_tile)] — max_tile_count
+    detects per-tile nonzero truncation (regrow signal).  Invalid (padding)
+    tiles skip the matmul entirely via lax.cond.
+
+    Rationale: the remote tunnel charges ~0.6 s latency per device<->host
+    interaction, so the per-tile dispatch/pull cadence dominated end-to-end
+    time at N >= 16k; batching k tiles per dispatch cuts round-trips k-fold
+    while the compiled shape stays N-independent (fixed rb, k)."""
+    import jax
+    import jax.numpy as jnp
+
+    k = ts.shape[0]
+    buf = jnp.full((k * cap_tile,), -1, dtype=jnp.int32)
+
+    def compute_tile(t, r0, c0):
+        mask = _tile_mask(xd, cd, sd, r0, c0, rb, jmin_num, jmin_den,
+                          c_min, radio, is_containment)
+        count = jnp.sum(mask, dtype=jnp.int32)
+        (flat,) = jnp.nonzero(mask.reshape(-1), size=cap_tile,
+                              fill_value=-1)
+        return flat.astype(jnp.int32) + t * jnp.int32(rb * rb), count
+
+    def body(carry, tile):
+        buf, total, maxc = carry
+        t, r0, c0, ok = tile
+        enc, count = jax.lax.cond(
+            ok > 0,
+            lambda: compute_tile(t, r0, c0),
+            lambda: (jnp.full((cap_tile,), -1, dtype=jnp.int32),
+                     jnp.int32(0)))
+        # write at the running total: entries past `count` are garbage but
+        # are overwritten by the next tile's write (which starts at
+        # total+count and spans cap_tile) or fall beyond the final total
+        buf = jax.lax.dynamic_update_slice(buf, enc, (total,))
+        return (buf, total + count, jnp.maximum(maxc, count)), None
+
+    (buf, total, maxc), _ = jax.lax.scan(
+        body, (buf, jnp.int32(0), jnp.int32(0)), (ts, r0s, c0s, valid))
+    return jnp.concatenate([total[None], maxc[None], buf])
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_batched_filter():
+    import jax
+    return jax.jit(_batched_filter_fn,
+                   static_argnames=("is_containment", "cap_tile", "rb"))
+
+
+def _blocks_batched(hashes, threshold, kmer_size, is_containment, bits,
+                    row_block, batch_k):
+    """Batched-dispatch candidate generator (default device path).
+
+    Per batch of up to batch_k tiles:
+      1. dispatch the cheap mask program (_batched_mask_fn: filter + packed
+         masks, no compaction) and pull the per-tile counts (k ints);
+      2. with the exact counts in hand, pull EITHER the packed masks
+         (dense: n_valid*rb^2/8 bytes, zero device compaction time) OR
+         dispatch the index-compaction program sized exactly
+         (sparse: 4*total bytes, pays jnp.nonzero's ~0.6 s/64M-pair tile).
+    The dense/sparse decision is per batch (RTC_PULL_MODE=auto|mask|idx).
+    The next batch's mask program is dispatched before this batch's data
+    pull so device filtering overlaps host decode/verify."""
+    import jax.numpy as jnp
+    from ..utils.jaxcfg import configure_jax
+    configure_jax()
+
+    n = len(hashes)
+    # power-of-two tile ladder: small inputs compile small shapes, large
+    # inputs all share (row_block, row_block) regardless of N
+    rb = min(row_block, max(128, 1 << max(n - 1, 1).bit_length()))
+    xp, coll = pack_bitmaps_packed(hashes, bits=bits, pad_n_to=rb)
+    n_pad = xp.shape[0]
+    sizes = np.zeros(n_pad, dtype=np.int32)
+    sizes[:n] = [len(h) for h in hashes]
+    j_min = min_jaccard_for_threshold(threshold, kmer_size)
+    c_min = math.exp(-threshold * kmer_size)
+    radio = size_ratio_limit(threshold, kmer_size - 1)
+
+    xd = jnp.asarray(xp)
+    cd = jnp.asarray(coll)
+    sd = jnp.asarray(sizes)
+    mask_filt = _jitted_batched_mask()
+    idx_filt = _jitted_batched_filter()
+    pull_mode = os.environ.get("RTC_PULL_MODE", "auto")
+
+    # triangular tile sweep, chunked into fixed-k batches (padding tiles
+    # are skipped on device via lax.cond — no wasted matmuls)
+    tiles = []
+    for r0 in range(0, n_pad, rb):
+        for c0 in range(0, r0 + rb, rb):
+            tiles.append((r0, c0))
+    batches = [tiles[b:b + batch_k] for b in range(0, len(tiles), batch_k)]
+    scalars = (jnp.float32(j_min), jnp.float32(1.0 + j_min),
+               jnp.float32(c_min), jnp.int32(radio))
+
+    def tile_arrays(batch):
+        r0s = np.zeros(batch_k, dtype=np.int32)
+        c0s = np.zeros(batch_k, dtype=np.int32)
+        val = np.zeros(batch_k, dtype=np.int32)
+        for t, (r0, c0) in enumerate(batch):
+            r0s[t], c0s[t], val[t] = r0, c0, 1
+        return r0s, c0s, val
+
+    def dispatch_mask(batch):
+        r0s, c0s, val = tile_arrays(batch)
+        counts_dev, packs_dev = mask_filt(
+            xd, cd, sd, jnp.asarray(r0s), jnp.asarray(c0s),
+            jnp.asarray(val), *scalars, is_containment, rb)
+        try:
+            counts_dev.copy_to_host_async()
+        except Exception:
+            pass
+        return counts_dev, packs_dev, r0s, c0s, len(batch)
+
+    def dispatch_idx(batch, cap):
+        r0s, c0s, val = tile_arrays(batch)
+        return idx_filt(xd, cd, sd, jnp.arange(batch_k, dtype=jnp.int32),
+                        jnp.asarray(r0s), jnp.asarray(c0s),
+                        jnp.asarray(val), *scalars, is_containment, cap, rb)
+
+    pending = dispatch_mask(batches[0]) if batches else None
+    for b, batch in enumerate(batches):
+        counts_dev, packs_dev, r0s, c0s, n_valid = pending
+        counts = np.asarray(counts_dev)
+        _account_pull(4 * batch_k)
+        total = int(counts.sum())
+        if not total:
+            if b + 1 < len(batches):
+                pending = dispatch_mask(batches[b + 1])
+            continue
+        # per-TILE pull policy: packed mask costs rb^2/8 bytes and zero
+        # device compaction; index compaction costs 4*count bytes (< 2x
+        # quantum overshoot) plus jnp.nonzero's density-independent
+        # ~0.6 s/64M-pair device time, expressed in byte-equivalents via
+        # the live bandwidth estimate
+        tile_bytes = rb * (rb // 8)
+        compact_equiv = _COMPACT_S_PER_PAIR * rb * rb * _BW_EST["bps"]
+        sel_mask, sel_idx = [], []
+        for t in range(n_valid):
+            if not counts[t]:
+                continue
+            if pull_mode == "mask" or (pull_mode != "idx" and tile_bytes
+                                       <= compact_equiv + 4 * int(counts[t])):
+                sel_mask.append(t)
+            else:
+                sel_idx.append(t)
+        packs_pull = None
+        if sel_mask:
+            packs_pull = packs_dev[jnp.asarray(sel_mask, dtype=jnp.int32)]
+        prefix_dev = None
+        if sel_idx:
+            sub = [batch[t] for t in sel_idx]
+            cnts_idx = counts[np.asarray(sel_idx)]
+            total_idx = int(cnts_idx.sum())
+            # exact counts known: size the compaction buffer to the ladder
+            # step >= max tile count — no regrow pass can ever be needed
+            cap_tile = min(_pull_quantum(int(cnts_idx.max()), rb * rb),
+                           rb * rb)
+            fused_dev = dispatch_idx(sub, cap_tile)
+            quantum = _pull_quantum(total_idx, batch_k * cap_tile)
+            prefix_dev = fused_dev[2:2 + quantum]
+        if b + 1 < len(batches):
+            pending = dispatch_mask(batches[b + 1])
+        if packs_pull is not None:
+            t0 = time.perf_counter()
+            packs = np.asarray(packs_pull)
+            _note_pull_time(packs.nbytes, time.perf_counter() - t0)
+            _account_pull(packs.nbytes)
+            for s_i, t in enumerate(sel_mask):
+                bits2d = np.unpackbits(packs[s_i], axis=1, bitorder="little")
+                flat = np.flatnonzero(bits2d)
+                ii = flat // rb + int(r0s[t])
+                jj = flat % rb + int(c0s[t])
+                keep = ii < n  # padded rows (padded cols die on sizes==0)
+                yield ii[keep], jj[keep]
+        if prefix_dev is not None:
+            t0 = time.perf_counter()
+            enc = np.asarray(prefix_dev)[:total_idx].astype(np.int64)
+            _note_pull_time(4 * quantum, time.perf_counter() - t0)
+            _account_pull(4 * quantum)
+            t_loc = enc // (rb * rb)
+            local = enc - t_loc * (rb * rb)
+            sub_r0 = np.array([s[0] for s in sub], dtype=np.int64)
+            sub_c0 = np.array([s[1] for s in sub], dtype=np.int64)
+            ii = sub_r0[t_loc] + local // rb
+            jj = sub_c0[t_loc] + local % rb
+            keep = ii < n
+            yield ii[keep], jj[keep]
+
+
 def candidate_pair_blocks(
     hashes: List[np.ndarray],
     threshold: float,
@@ -173,15 +456,36 @@ def candidate_pair_blocks(
     row_block: int = 1024,
 ):
     """Streaming MXU candidate filter: yields (ii, jj) int64 arrays of
-    unverified candidate pairs (i > j) per complete row block.
+    unverified candidate pairs (i > j).
 
-    Pipelined: the NEXT row block's device program is dispatched (JAX async
-    dispatch) BEFORE the current block's fused result is pulled, so device
-    filtering of block b+1 overlaps the caller's host work on block b
-    (exact verify / union-find).  On the tunnel-attached dev TPU this hides
-    most of the host verify time behind device compute; on local hardware
-    it hides the pull latency.
+    Default path: scan-batched tiles — RTC_BATCH_TILES tiles (default 16)
+    of the triangular sweep run in ONE device dispatch (_batched_filter_fn),
+    so the number of device<->host round-trips drops k-fold; set
+    RTC_BATCH_TILES=0 for the legacy per-tile dispatch path (A/B).
+
+    Pipelined either way: the NEXT batch's device program is dispatched
+    (JAX async dispatch) BEFORE the current batch's compacted result is
+    pulled, so device filtering of batch b+1 overlaps the caller's host
+    work on batch b (exact verify / union-find).
     """
+    batch_k = int(os.environ.get("RTC_BATCH_TILES", "16"))
+    if batch_k >= 2:
+        yield from _blocks_batched(hashes, threshold, kmer_size,
+                                   is_containment, bits, row_block, batch_k)
+        return
+    yield from _blocks_pertile(hashes, threshold, kmer_size, is_containment,
+                               bits, row_block)
+
+
+def _blocks_pertile(
+    hashes: List[np.ndarray],
+    threshold: float,
+    kmer_size: int,
+    is_containment: bool = False,
+    bits: int = 8192,
+    row_block: int = 1024,
+):
+    """Legacy per-tile dispatch path (RTC_BATCH_TILES=0)."""
     import jax.numpy as jnp
     from ..utils.jaxcfg import configure_jax
     configure_jax()
@@ -293,13 +597,29 @@ def candidate_pair_blocks(
 
 
 def _pull_quantum(count: int, cap: int) -> int:
-    """Smallest slice length >= count from a short ladder of sizes (16K,
-    64K, 256K, ... 4x steps, capped at ``cap``) so the number of distinct
-    slice shapes — each a tiny one-off compile — stays O(log cap)."""
+    """Smallest slice length >= count from a ladder of sizes (16K, 32K,
+    64K, ... 2x steps, capped at ``cap``) so pull overshoot stays < 2x and
+    the number of distinct slice shapes — each a tiny one-off compile —
+    stays O(log cap)."""
     k = 1 << 14
     while k < count:
-        k *= 4
+        k *= 2
     return min(k, cap)
+
+
+# live device->host bandwidth estimate (bytes/s, EMA over measured pulls);
+# seeds the per-tile mask-vs-index pull decision.  The tunnel fluctuates
+# wildly (2-100 MB/s), so the estimate adapts within a run and persists
+# across calls in the process.
+_BW_EST = {"bps": 30e6}
+# measured jnp.nonzero compaction cost on the v5e: ~0.61 s per 64M-pair
+# tile, linear in tile area (scatter-bound, density-independent)
+_COMPACT_S_PER_PAIR = 9.5e-9
+
+
+def _note_pull_time(n_bytes: int, seconds: float) -> None:
+    if n_bytes >= (1 << 18) and seconds > 1e-4:
+        _BW_EST["bps"] = 0.7 * _BW_EST["bps"] + 0.3 * (n_bytes / seconds)
 
 
 def candidate_pairs_threshold(

@@ -344,6 +344,7 @@ def test_pull_modes_and_column_trim_equivalent(monkeypatch):
                 candidate_pair_blocks(hashes, 0.05, 21, bits=2048,
                                       row_block=96)]
 
+    monkeypatch.setenv("RTC_BATCH_TILES", "0")  # pin the per-tile path
     monkeypatch.delenv("RTC_FULL_PULL", raising=False)
     two_step = collect()
     monkeypatch.setenv("RTC_FULL_PULL", "1")
@@ -352,11 +353,45 @@ def test_pull_modes_and_column_trim_equivalent(monkeypatch):
     assert sum(len(b[0]) for b in two_step) > 0
 
 
+def test_batched_tiles_equal_pertile(monkeypatch):
+    """The scan-batched dispatch path (RTC_BATCH_TILES, default) must yield
+    exactly the per-tile path's pair set — in both pull modes (packed-mask
+    and index-compaction), with a batch size that leaves padding (invalid)
+    tiles, and with padded rows."""
+    from rabbittclust_tpu.ops.bitmap import candidate_pair_blocks
+    rng = np.random.default_rng(13)
+    base = np.unique(rng.integers(0, 2 ** 28, size=250).astype(np.uint32))
+    hashes = []
+    for i in range(333):  # odd n: exercises row padding
+        keep = base[rng.random(len(base)) < 0.7]
+        extra = np.unique(rng.integers(0, 2 ** 28, size=90).astype(np.uint32))
+        hashes.append(np.unique(np.concatenate([keep, extra])))
+
+    def pairs():
+        out = set()
+        for ii, jj in candidate_pair_blocks(hashes, 0.05, 21, bits=2048,
+                                            row_block=64):
+            out.update(zip(ii.tolist(), jj.tolist()))
+        return out
+
+    monkeypatch.setenv("RTC_BATCH_TILES", "0")
+    ref = pairs()
+    assert len(ref) > 0
+    monkeypatch.setenv("RTC_BATCH_TILES", "16")
+    monkeypatch.setenv("RTC_PULL_MODE", "mask")  # packed-mask pulls
+    assert pairs() == ref
+    monkeypatch.setenv("RTC_PULL_MODE", "idx")  # index-compaction pulls
+    assert pairs() == ref
+    monkeypatch.setenv("RTC_PULL_MODE", "auto")
+    monkeypatch.setenv("RTC_BATCH_TILES", "3")  # padding tiles in last batch
+    assert pairs() == ref
+
+
 def test_pull_quantum_ladder():
     from rabbittclust_tpu.ops.bitmap import _pull_quantum
     assert _pull_quantum(0, 1 << 20) == 1 << 14
     assert _pull_quantum(1 << 14, 1 << 20) == 1 << 14
-    assert _pull_quantum((1 << 14) + 1, 1 << 20) == 1 << 16
+    assert _pull_quantum((1 << 14) + 1, 1 << 20) == 1 << 15
     assert _pull_quantum(1 << 21, 1 << 20) == 1 << 20  # capped
 
 
