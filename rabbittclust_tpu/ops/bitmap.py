@@ -249,34 +249,56 @@ def _jitted_batched_mask():
 
 
 def _batched_filter_fn(xd, cd, sd, ts, r0s, c0s, valid, jmin_num, jmin_den,
-                       c_min, radio, is_containment, cap_tile, rb):
-    """ONE device dispatch for a whole batch of (rb x rb) pair tiles.
+                       c_min, radio, is_containment, cap_tile, cap_chunks,
+                       rb):
+    """ONE device dispatch for a whole batch of (rb x rb) pair tiles,
+    returning compacted candidate indices (the sparse-tile pull mode).
 
     lax.scan over tile descriptors: each step dynamic-slices its row/column
     panels out of the resident signature matrix, runs the bf16 MXU filter,
     and appends its compacted candidate indices into a shared buffer at the
     running total (dynamic_update_slice).  Encodes flat = t*rb^2 + local so
     the host decodes with the batch's (r0, c0) list.  Returns one fused
-    int32 array [total, max_tile_count, buffer(k*cap_tile)] — max_tile_count
-    detects per-tile nonzero truncation (regrow signal).  Invalid (padding)
-    tiles skip the matmul entirely via lax.cond.
+    int32 array [total, max_tile_count, buffer(k*cap_tile)].  Invalid
+    (padding) tiles skip the matmul entirely via lax.cond.
 
-    Rationale: the remote tunnel charges ~0.6 s latency per device<->host
-    interaction, so the per-tile dispatch/pull cadence dominated end-to-end
-    time at N >= 16k; batching k tiles per dispatch cuts round-trips k-fold
-    while the compiled shape stays N-independent (fixed rb, k)."""
+    Compaction is TWO-LEVEL to dodge jnp.nonzero's cost on the full tile
+    (~610 ms per 8192^2 tile, density-independent): a cheap reduction finds
+    the W-wide column chunks with any candidate (nonzero over rb^2/W
+    elements), the hit chunks are row-gathered, and the small nonzero runs
+    over cap_chunks*W elements only — output-proportional for sparse tiles.
+    Safe sizing: chunks_hit <= count <= cap_chunks (host sets cap_chunks
+    from the exact counts), so neither level can truncate.
+
+    Rationale for batching: the remote tunnel charges ~0.6 s latency per
+    device<->host interaction, so the per-tile dispatch/pull cadence
+    dominated end-to-end time at N >= 16k; batching k tiles per dispatch
+    cuts round-trips k-fold while the compiled shape stays N-independent
+    (fixed rb, k)."""
     import jax
     import jax.numpy as jnp
 
     k = ts.shape[0]
+    W = min(512, rb)
+    n_chunk_cols = rb // W
     buf = jnp.full((k * cap_tile,), -1, dtype=jnp.int32)
 
     def compute_tile(t, r0, c0):
         mask = _tile_mask(xd, cd, sd, r0, c0, rb, jmin_num, jmin_den,
                           c_min, radio, is_containment)
         count = jnp.sum(mask, dtype=jnp.int32)
-        (flat,) = jnp.nonzero(mask.reshape(-1), size=cap_tile,
-                              fill_value=-1)
+        m3 = mask.reshape(rb, n_chunk_cols, W)
+        chunk_any = m3.any(axis=2).reshape(-1)  # (rb * n_chunk_cols,)
+        (cid,) = jnp.nonzero(chunk_any, size=cap_chunks, fill_value=-1)
+        ok_chunk = cid >= 0
+        rows = jnp.maximum(cid, 0) // n_chunk_cols
+        cols = jnp.maximum(cid, 0) % n_chunk_cols
+        sub = m3[rows, cols] & ok_chunk[:, None]  # (cap_chunks, W)
+        (loc,) = jnp.nonzero(sub.reshape(-1), size=cap_tile, fill_value=-1)
+        c2 = jnp.maximum(loc, 0) // W
+        flat = rows[c2] * jnp.int32(rb) + cols[c2] * jnp.int32(W) \
+            + jnp.maximum(loc, 0) % W
+        flat = jnp.where(loc >= 0, flat, -1)
         return flat.astype(jnp.int32) + t * jnp.int32(rb * rb), count
 
     def body(carry, tile):
@@ -302,7 +324,8 @@ def _batched_filter_fn(xd, cd, sd, ts, r0s, c0s, valid, jmin_num, jmin_den,
 def _jitted_batched_filter():
     import jax
     return jax.jit(_batched_filter_fn,
-                   static_argnames=("is_containment", "cap_tile", "rb"))
+                   static_argnames=("is_containment", "cap_tile",
+                                    "cap_chunks", "rb"))
 
 
 def _blocks_batched(hashes, threshold, kmer_size, is_containment, bits,
@@ -371,11 +394,12 @@ def _blocks_batched(hashes, threshold, kmer_size, is_containment, bits,
             pass
         return counts_dev, packs_dev, r0s, c0s, len(batch)
 
-    def dispatch_idx(batch, cap):
+    def dispatch_idx(batch, cap, cap_chunks):
         r0s, c0s, val = tile_arrays(batch)
         return idx_filt(xd, cd, sd, jnp.arange(batch_k, dtype=jnp.int32),
                         jnp.asarray(r0s), jnp.asarray(c0s),
-                        jnp.asarray(val), *scalars, is_containment, cap, rb)
+                        jnp.asarray(val), *scalars, is_containment, cap,
+                        cap_chunks, rb)
 
     pending = dispatch_mask(batches[0]) if batches else None
     for b, batch in enumerate(batches):
@@ -411,11 +435,14 @@ def _blocks_batched(hashes, threshold, kmer_size, is_containment, bits,
             sub = [batch[t] for t in sel_idx]
             cnts_idx = counts[np.asarray(sel_idx)]
             total_idx = int(cnts_idx.sum())
-            # exact counts known: size the compaction buffer to the ladder
-            # step >= max tile count — no regrow pass can ever be needed
-            cap_tile = min(_pull_quantum(int(cnts_idx.max()), rb * rb),
-                           rb * rb)
-            fused_dev = dispatch_idx(sub, cap_tile)
+            # exact counts known: size both compaction levels to the ladder
+            # step >= max tile count (chunks_hit <= count) — no regrow pass
+            # or truncation can ever occur
+            maxc = int(cnts_idx.max())
+            cap_tile = min(_pull_quantum(maxc, rb * rb), rb * rb)
+            w_chunk = min(512, rb)
+            cap_chunks = min(_quantum(maxc, 1 << 11), rb * rb // w_chunk)
+            fused_dev = dispatch_idx(sub, cap_tile, cap_chunks)
             quantum = _pull_quantum(total_idx, batch_k * cap_tile)
             prefix_dev = fused_dev[2:2 + quantum]
         if b + 1 < len(batches):
@@ -596,15 +623,20 @@ def _blocks_pertile(
             yield ii[keep], jj[keep]
 
 
+def _quantum(count: int, floor: int) -> int:
+    """Smallest ladder step (floor, 2*floor, 4*floor, ...) >= count."""
+    k = floor
+    while k < count:
+        k *= 2
+    return k
+
+
 def _pull_quantum(count: int, cap: int) -> int:
     """Smallest slice length >= count from a ladder of sizes (16K, 32K,
     64K, ... 2x steps, capped at ``cap``) so pull overshoot stays < 2x and
     the number of distinct slice shapes — each a tiny one-off compile —
     stays O(log cap)."""
-    k = 1 << 14
-    while k < count:
-        k *= 2
-    return min(k, cap)
+    return min(_quantum(count, 1 << 14), cap)
 
 
 # live device->host bandwidth estimate (bytes/s, EMA over measured pulls);
