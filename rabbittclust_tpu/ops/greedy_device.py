@@ -81,9 +81,11 @@ def _greedy_filter_fn(x_all, batch_idx, rep_idx, coll, sizes, jmin_num,
         iidx = jax.lax.broadcasted_iota(jnp.int32, (b, r), 0)
         jidx = jax.lax.broadcasted_iota(jnp.int32, (b, r), 1)
         mask &= jidx < iidx
-    count = jnp.sum(mask, dtype=jnp.int32)
-    (flat_idx,) = jnp.nonzero(mask.reshape(-1), size=cap, fill_value=-1)
-    return jnp.concatenate([count[None], flat_idx.astype(jnp.int32)])
+    # two-level compaction (see ops.bitmap): safe because the caller
+    # regrows whenever count > cap, and chunks_hit <= count <= cap
+    from .bitmap import compact_mask_two_level
+    count, flat_idx = compact_mask_two_level(mask, cap, cap)
+    return jnp.concatenate([count[None], flat_idx])
 
 
 @functools.lru_cache(maxsize=1)

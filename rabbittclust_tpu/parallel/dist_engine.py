@@ -188,9 +188,10 @@ def build_ring_edges_fn(threshold: float, kmer_size: int, radio: int,
             mx = jnp.maximum(s0, s1)
             ok = (counts > 0) & (mn > 0) & (mx <= radio * mn)
             ok &= _ownership_mask(t, n_dev, row_ids, vis_ids)
-            cnt = jnp.sum(ok, dtype=jnp.int32)
-            (flat,) = jnp.nonzero(ok.reshape(-1), size=cap, fill_value=-1)
-            flat = flat.astype(jnp.int32)
+            # two-level compaction (see ops.bitmap): safe because the host
+            # regrows whenever cnt > cap, and chunks_hit <= cnt <= cap
+            from ..ops.bitmap import compact_mask_two_level
+            cnt, flat = compact_mask_two_level(ok, cap, cap)
             li = flat // counts.shape[1]
             vj = flat % counts.shape[1]
             gid_i = jnp.where(flat >= 0, jnp.take(row_ids, li), -1)
@@ -323,9 +324,10 @@ def build_ring_bitmap_fn(cap: int, jmin_num: float, jmin_den: float,
             mxi = jnp.maximum(sizes[:, None], vsizes[None, :])
             ok = (shared >= thresh) & (mni > 0) & (mxi <= radio * mni)
             ok &= _ownership_mask(t, n_dev, row_ids, vis_ids)
-            cnt = jnp.sum(ok, dtype=jnp.int32)
-            (flat,) = jnp.nonzero(ok.reshape(-1), size=cap, fill_value=-1)
-            flat = flat.astype(jnp.int32)
+            # two-level compaction (see ops.bitmap): safe because the host
+            # regrows whenever cnt > cap, and chunks_hit <= cnt <= cap
+            from ..ops.bitmap import compact_mask_two_level
+            cnt, flat = compact_mask_two_level(ok, cap, cap)
             li = flat // ok.shape[1]
             vj = flat % ok.shape[1]
             gid_i = jnp.where(flat >= 0, jnp.take(row_ids, li), -1)
