@@ -920,6 +920,63 @@ void rtc_pack_bitmaps_u64(const uint64_t* flat, const int64_t* offs,
   }
 }
 
+// Extract global (i, j) candidate pairs from a bit-PACKED tile mask
+// (rows x row_bytes, little bit order — the device mask program's pull
+// format).  Two passes: parallel per-row popcount prefix, then parallel
+// bit-scan emit at stable offsets.  Rows with global i >= n_limit are
+// skipped (device already masks them via sizes==0; kept as a guard).
+// Returns the number of pairs written.
+int64_t rtc_mask_pairs(const uint8_t* packed, int64_t rows,
+                       int64_t row_bytes, int64_t r0, int64_t c0,
+                       int64_t n_limit, int64_t* out_i, int64_t* out_j,
+                       int threads) {
+  std::vector<int64_t> off(rows + 1, 0);
+#pragma omp parallel for schedule(static) num_threads(threads)
+  for (int64_t r = 0; r < rows; ++r) {
+    if (r0 + r >= n_limit) { off[r + 1] = 0; continue; }
+    const uint8_t* row = packed + r * row_bytes;
+    int64_t pc = 0, k = 0;
+    for (; k + 8 <= row_bytes; k += 8) {
+      uint64_t w;
+      memcpy(&w, row + k, 8);
+      pc += __builtin_popcountll(w);
+    }
+    for (; k < row_bytes; ++k) pc += __builtin_popcount(row[k]);
+    off[r + 1] = pc;
+  }
+  for (int64_t r = 0; r < rows; ++r) off[r + 1] += off[r];
+#pragma omp parallel for schedule(static) num_threads(threads)
+  for (int64_t r = 0; r < rows; ++r) {
+    if (r0 + r >= n_limit) continue;
+    const uint8_t* row = packed + r * row_bytes;
+    int64_t w_off = off[r];
+    const int64_t gi = r0 + r;
+    int64_t k = 0;
+    for (; k + 8 <= row_bytes; k += 8) {
+      uint64_t w;
+      memcpy(&w, row + k, 8);
+      while (w) {
+        int b = __builtin_ctzll(w);
+        out_i[w_off] = gi;
+        out_j[w_off] = c0 + k * 8 + b;
+        ++w_off;
+        w &= w - 1;
+      }
+    }
+    for (; k < row_bytes; ++k) {
+      uint32_t w = row[k];
+      while (w) {
+        int b = __builtin_ctz(w);
+        out_i[w_off] = gi;
+        out_j[w_off] = c0 + k * 8 + b;
+        ++w_off;
+        w &= w - 1;
+      }
+    }
+  }
+  return off[rows];
+}
+
 void rtc_count_common_u32(const uint32_t* flat, const int64_t* offs,
                           const int32_t* ii, const int32_t* jj,
                           int64_t npairs, int32_t* out, int threads) {

@@ -471,16 +471,13 @@ def _blocks_batched(hashes, threshold, kmer_size, is_containment, bits,
             pending = dispatch_mask(batches[b + 1])
         if packs_pull is not None:
             t0 = time.perf_counter()
-            packs = np.asarray(packs_pull)
+            packs = np.ascontiguousarray(np.asarray(packs_pull))
             _note_pull_time(packs.nbytes, time.perf_counter() - t0)
             _account_pull(packs.nbytes)
             for s_i, t in enumerate(sel_mask):
-                bits2d = np.unpackbits(packs[s_i], axis=1, bitorder="little")
-                flat = np.flatnonzero(bits2d)
-                ii = flat // rb + int(r0s[t])
-                jj = flat % rb + int(c0s[t])
-                keep = ii < n  # padded rows (padded cols die on sizes==0)
-                yield ii[keep], jj[keep]
+                ii, jj = _decode_packed_mask(packs[s_i], rb, int(r0s[t]),
+                                             int(c0s[t]), n, int(counts[t]))
+                yield ii, jj
         if prefix_dev is not None:
             t0 = time.perf_counter()
             enc = np.asarray(prefix_dev)[:total_idx].astype(np.int64)
@@ -643,6 +640,34 @@ def _blocks_pertile(
             jj = idx % gj + c0
             keep = ii < n  # drop padded rows
             yield ii[keep], jj[keep]
+
+
+def _decode_packed_mask(packed: np.ndarray, rb: int, r0: int, c0: int,
+                        n: int, expect: int):
+    """Global (ii, jj) int64 pairs from one pulled packed-mask tile.
+    Native popcount/ctz bit-scan (~GB/s); NumPy unpackbits fallback."""
+    lib = native_mod.load_native()
+    if lib is not None:
+        if not hasattr(lib, "_rtc_mask_pairs_sig"):
+            lib.rtc_mask_pairs.restype = ctypes.c_int64
+            lib.rtc_mask_pairs.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+            lib._rtc_mask_pairs_sig = True
+        ii = np.empty(expect, dtype=np.int64)
+        jj = np.empty(expect, dtype=np.int64)
+        got = lib.rtc_mask_pairs(
+            packed.ctypes.data, rb, packed.shape[1], r0, c0, n,
+            ii.ctypes.data, jj.ctypes.data, os.cpu_count() or 1)
+        assert got == expect, (got, expect)  # device count is exact
+        return ii, jj
+    bits2d = np.unpackbits(packed, axis=1, bitorder="little")
+    flat = np.flatnonzero(bits2d)
+    ii = flat // rb + r0
+    jj = flat % rb + c0
+    keep = ii < n  # padded rows (padded cols die on sizes==0)
+    return ii[keep], jj[keep]
 
 
 def _quantum(count: int, floor: int) -> int:

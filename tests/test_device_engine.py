@@ -387,6 +387,31 @@ def test_batched_tiles_equal_pertile(monkeypatch):
     assert pairs() == ref
 
 
+def test_decode_packed_mask_native_equals_numpy():
+    """Native popcount/ctz mask decode == the NumPy unpackbits fallback,
+    including padded-row trimming (i >= n) and tile offsets."""
+    from rabbittclust_tpu.ops import bitmap as bm
+    from rabbittclust_tpu.utils import native as native_mod
+    rng = np.random.default_rng(3)
+    rb = 256
+    n = 250  # pad rows 250..255 must be dropped
+    mask = rng.random((rb, rb)) < 0.03
+    mask[n:] = False  # device zeroes padded rows via sizes==0
+    packed = np.packbits(mask, axis=1, bitorder="little")
+    expect = int(mask.sum())
+    ii_n, jj_n = bm._decode_packed_mask(packed, rb, 1024, 512, 1024 + n,
+                                        expect)
+    real = native_mod.load_native
+    try:
+        native_mod.load_native = lambda: None  # force the NumPy fallback
+        ii_f, jj_f = bm._decode_packed_mask(packed, rb, 1024, 512,
+                                            1024 + n, expect)
+    finally:
+        native_mod.load_native = real
+    assert np.array_equal(ii_n, ii_f) and np.array_equal(jj_n, jj_f)
+    assert len(ii_n) == expect
+
+
 def test_pull_quantum_ladder():
     from rabbittclust_tpu.ops.bitmap import _pull_quantum
     assert _pull_quantum(0, 1 << 20) == 1 << 14
