@@ -63,6 +63,12 @@ def compute_mst_device(
     first_row = (start_index // row_tile) * row_tile
     row_starts = list(range(first_row, n_pad, row_tile))
 
+    # counts never exceed the smaller sketch size, so when every sketch is
+    # < 2^16 the count tiles pull losslessly as uint16 — halves the
+    # dominant (gi x N) transfer (sketches that large need >256 Mb
+    # genomes at drlevel 3; int32 stays for that corner)
+    u16_ok = int(sizes[:n].max(initial=0)) < (1 << 16)
+
     def dispatch(i0):
         gi = min(row_tile, n_pad - i0)
         # triangular column trim: only pairs j < i are kept, so this row
@@ -72,9 +78,13 @@ def compute_mst_device(
         # count pulls across the run.
         pow2 = 1 << (i0 + gi - 1).bit_length()
         nc = min(n_pad, max(col_tile, -(-pow2 // col_tile) * col_tile))
-        return pair_counts_row(packed.row_block(i0, gi),
-                               packed.row_block(0, nc),
-                               gj_tile=col_tile, backend=backend)
+        c = pair_counts_row(packed.row_block(i0, gi),
+                            packed.row_block(0, nc),
+                            gj_tile=col_tile, backend=backend)
+        if u16_ok:
+            import jax.numpy as jnp
+            c = c.astype(jnp.uint16)
+        return c
 
     from ..utils.profiling import maybe_trace
     with maybe_trace("dense_mst_device"):
