@@ -387,6 +387,28 @@ def test_batched_tiles_equal_pertile(monkeypatch):
     assert pairs() == ref
 
 
+def test_compact_mask_two_level_equals_nonzero():
+    """The two-level chunked compaction must equal flat nonzero whenever
+    chunks_hit <= cap_chunks — exercising the actual two-level branch
+    (cap_chunks < chunk-grid size), clustered and scattered masks, and a
+    non-square shape."""
+    import jax.numpy as jnp
+    from rabbittclust_tpu.ops.bitmap import compact_mask_two_level
+    rng = np.random.default_rng(7)
+    for shape, density in (((1024, 1024), 1e-4), ((512, 2048), 3e-4),
+                           ((1024, 1024), 0.0)):
+        mask = rng.random(shape) < density
+        truth = np.flatnonzero(mask)
+        cap_tile = 1 << 12
+        cap_chunks = 512  # < chunk grid (shape[0]*shape[1]/512)
+        assert mask.sum() <= cap_chunks  # safety precondition
+        count, flat = compact_mask_two_level(jnp.asarray(mask), cap_tile,
+                                             cap_chunks)
+        assert int(count) == len(truth)
+        got = np.asarray(flat)[:len(truth)]
+        assert np.array_equal(np.sort(got), truth)
+
+
 def test_decode_packed_mask_native_equals_numpy():
     """Native popcount/ctz mask decode == the NumPy unpackbits fallback,
     including padded-row trimming (i >= n) and tile offsets."""
