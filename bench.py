@@ -154,10 +154,14 @@ def device_child():
     device_kind = jax.devices()[0].device_kind
     # warm-up with identical shapes (compile; cached persistently)
     _ = clusters_tpu(hashes, threshold, kmer_size)
-    bm.reset_pull_stats()
-    t0 = time.perf_counter()
-    ct = clusters_tpu(hashes, threshold, kmer_size)
-    t_tpu = time.perf_counter() - t0
+    # min of 2 timed runs: the tunnel's pull bandwidth fluctuates 2-100
+    # MB/s between runs; min-of-k measures the engine, not the link's mood
+    t_tpu = float("inf")
+    for _rep in range(2):
+        bm.reset_pull_stats()
+        t0 = time.perf_counter()
+        ct = clusters_tpu(hashes, threshold, kmer_size)
+        t_tpu = min(t_tpu, time.perf_counter() - t0)
     out = {"backend": backend, "device_kind": device_kind,
            "t_device_s": t_tpu, "digest": partition_digest(ct),
            "pulled_bytes": bm.PULL_STATS["bytes"],
@@ -186,10 +190,13 @@ def main():
     pairs = n * (n - 1) / 2
 
     # host baseline (this process never touches the device — the single
-    # TPU grant belongs to the child)
-    t0 = time.perf_counter()
-    ch = clusters_host(hashes, threshold, kmer_size)
-    t_host = time.perf_counter() - t0
+    # TPU grant belongs to the child); min of 2 runs, matching the device
+    # child's min-of-2 (shared-machine timing noise)
+    t_host = float("inf")
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        ch = clusters_host(hashes, threshold, kmer_size)
+        t_host = min(t_host, time.perf_counter() - t0)
 
     # device path in a killable subprocess: the tunnel can wedge
     # indefinitely, and a hung RPC is not interruptible in-process
