@@ -13,6 +13,7 @@ single-linkage partition (every cross-component candidate is verified).
 
 from __future__ import annotations
 
+import os
 from typing import List
 
 import numpy as np
@@ -30,17 +31,35 @@ def threshold_clusters_device(
     bits: int = 8192,
     row_block: int = 4096,
     verify_chunk: int = 65536,
+    engine: str = "auto",
 ) -> List[List[int]]:
     """Exact single-linkage clusters at ``threshold`` (BFS-ordered like the
     reference MST cut; see cluster.mst.clusters_from_forest).
 
-    Pipelined: candidate blocks stream from the device filter with one-block
-    prefetch (ops.bitmap.candidate_pair_blocks), so the host verifies block b
-    while the device filters block b+1 — device compute and host verify
-    overlap instead of running as two serial phases."""
+    Two device engines, auto-selected by size (override with ``engine`` or
+    RTC_CLUSTER_ENGINE=stream|lp):
+
+    * "stream" (small N): candidate blocks stream from the device filter
+      with one-block prefetch (ops.bitmap.candidate_pair_blocks), so the
+      host verifies block b while the device filters block b+1.  Pulls
+      O(N^2/8) packed-mask bytes (or compacted indices when sparse).
+    * "lp" (large N): device-resident label propagation
+      (ops.labelprop.threshold_clusters_device_lp) — masks stay in HBM and
+      each Boruvka round pulls only O(N) proposal bytes, breaking the
+      O(N^2/8) transfer floor.  A few more dispatch round-trips, so it wins
+      once the mask transfer dominates (n_pad >= 32768 by default).
+    """
     n = len(hashes)
     if n == 0:
         return []
+    engine = os.environ.get("RTC_CLUSTER_ENGINE", engine)
+    if engine == "auto":
+        engine = "lp" if n > 16384 else "stream"
+    if engine == "lp":
+        from .labelprop import threshold_clusters_device_lp
+        return threshold_clusters_device_lp(
+            hashes, threshold, kmer_size, is_containment=is_containment,
+            bits=bits, row_block=max(row_block, 4096))
     sizes = np.array([len(h) for h in hashes], dtype=np.int64)
 
     uf = UnionFind(n)

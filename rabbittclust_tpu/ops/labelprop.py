@@ -1,0 +1,300 @@
+"""Device-resident label-propagation clustering — breaks the O(N^2/8)
+mask-pull floor of the streaming bitmap engine.
+
+The streaming engine (ops/cluster_fast.py) pulls EVERY candidate pair to
+the host (packed masks: N^2/8 bytes regardless of density, 302 MB at
+N=65536) even though single-linkage clustering only ever needs ~N-1 true
+edges plus the verified rejections.  This engine keeps the candidate masks
+RESIDENT on the device and runs Boruvka-style rounds:
+
+  build   one dispatch computes the MXU bitmap filter for every triangular
+          tile (ops.bitmap._batched_mask_fn) and leaves the bit-packed
+          candidate masks in HBM — nothing is pulled.
+  round   one dispatch (a) clears bits of pairs the host exact-verified as
+          failing, (b) recomputes, under the CURRENT component labels, each
+          row's minimum cross-component candidate partner and each column's
+          minimum cross-component candidate row (a sweep over the resident
+          masks — pure HBM reads, no matmul), and (c) returns one fused
+          int32 array [cross_count, row_proposals, col_proposals].
+  host    verifies the <= 2*N proposed pairs exactly (native two-pointer
+          counts + float64 distances), merges passes into a union-find,
+          and pushes the new labels + the failed pairs' clear-list into the
+          next round.
+
+Pulled bytes per round: 4*(1 + 2*n_pad) — O(N), never O(N^2).  Rounds are
+few: round 1 star-collapses most clusters (every member proposes the
+cluster's minimum-index member), later rounds only touch unresolved rows
+and inter-cluster false positives of the bitmap bound.
+
+Exactness: identical argument as ops/cluster_fast.py — the bitmap bound has
+no false negatives, so the true-edge graph is a subgraph of the candidate
+masks.  Every candidate pair ends in exactly one state: (a) exact-verified
+pass (merged, edge kept), (b) exact-verified fail (bit cleared on device —
+it is never proposed again), or (c) same-label (gated: its endpoints are
+already connected by verified edges, so it cannot change the partition).
+The loop exits only when cross_count == 0, i.e. every remaining candidate
+is same-label.  Progress per round is guaranteed (a nonzero cross_count
+implies at least one proposal, and every proposal is merged or cleared),
+so termination is unconditional; ``max_rounds`` only bounds pathological
+inputs before an exact host-side fallback finishes the job.
+
+Reference role: the streaming per-thread Kruskal memory trick at
+MST.cpp:571-574,779-787 — done TPU-natively (device holds the O(N^2)
+candidate state; the host sees O(N) per round).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+import time
+from typing import List, Tuple
+
+import numpy as np
+
+from ..cluster.union_find import UnionFind
+from ..distance.mash import (
+    aaf_distance,
+    mash_distance,
+    min_jaccard_for_threshold,
+    size_ratio_limit,
+)
+from . import bitmap as bm
+
+SENT = np.int32(1 << 30)
+
+
+def _round_fn(packs, labels, clr_t, clr_r, clr_b, clr_sub, r0s, c0s, valid,
+              rb):
+    """One device round: clear failed bits, then propose, per genome, its
+    minimum cross-label candidate partner.
+
+    packs: (T, rb, rb//8) resident bit-packed candidate masks (donated);
+    labels: (n_pad,) current component labels; clr_*: (C,) coordinates of
+    bits to clear (t, row, byte, bit-value) — no-op entries have sub == 0.
+    Returns (new_packs, fused) where fused = [cross_count,
+    row_prop (n_pad,), col_prop (n_pad,)] int32."""
+    import jax
+    import jax.numpy as jnp
+
+    n_pad = labels.shape[0]
+    # (a) clear verified-failed pairs: each bit is cleared at most once
+    # ever (a cleared bit leaves the mask, so it is never proposed again),
+    # so subtracting the bit value == clearing it; no-op pads subtract 0.
+    packs = packs.at[clr_t, clr_r, clr_b].add(-clr_sub)
+
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    iota_r = jax.lax.iota(jnp.int32, rb)
+
+    def step(carry, xs):
+        row_p, col_p, cross = carry
+        pk, r0, c0, ok = xs
+        bits = ((pk[:, :, None] >> shifts[None, None, :]) & jnp.uint8(1))
+        m = bits.reshape(rb, rb).astype(jnp.bool_)
+        lr = jax.lax.dynamic_slice(labels, (r0,), (rb,))
+        lc = jax.lax.dynamic_slice(labels, (c0,), (rb,))
+        m = m & (lr[:, None] != lc[None, :]) & (ok > 0)
+        cross = cross + jnp.sum(m, dtype=jnp.int32)
+        colv = jnp.where(m, iota_r[None, :] + c0, SENT)
+        rowv = jnp.where(m, iota_r[:, None] + r0, SENT)
+        rmin = jnp.min(colv, axis=1)
+        cmin = jnp.min(rowv, axis=0)
+        cur = jax.lax.dynamic_slice(row_p, (r0,), (rb,))
+        row_p = jax.lax.dynamic_update_slice(
+            row_p, jnp.minimum(cur, rmin), (r0,))
+        cur = jax.lax.dynamic_slice(col_p, (c0,), (rb,))
+        col_p = jax.lax.dynamic_update_slice(
+            col_p, jnp.minimum(cur, cmin), (c0,))
+        return (row_p, col_p, cross), None
+
+    init = (jnp.full((n_pad,), SENT, dtype=jnp.int32),
+            jnp.full((n_pad,), SENT, dtype=jnp.int32), jnp.int32(0))
+    (row_p, col_p, cross), _ = jax.lax.scan(
+        step, init, (packs, r0s, c0s, valid))
+    fused = jnp.concatenate([cross[None], row_p, col_p])
+    return packs, fused
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_round():
+    import jax
+    return jax.jit(_round_fn, static_argnames=("rb",),
+                   donate_argnums=(0,))
+
+
+def _clear_quantum(count: int) -> int:
+    """Ladder for the clear-list length (few distinct compiled shapes)."""
+    k = 1024
+    while k < count:
+        k *= 4
+    return k
+
+
+def threshold_clusters_device_lp(
+    hashes: List[np.ndarray],
+    threshold: float,
+    kmer_size: int,
+    is_containment: bool = False,
+    bits: int = 8192,
+    row_block: int = 8192,
+    max_rounds: int = 256,
+) -> List[List[int]]:
+    """Exact single-linkage clusters at ``threshold`` (BFS-ordered like the
+    reference MST cut) with O(N)-per-round device pulls."""
+    import jax.numpy as jnp
+    from ..utils.jaxcfg import configure_jax
+    configure_jax()
+
+    n = len(hashes)
+    if n == 0:
+        return []
+    from ..cluster.mst import clusters_from_forest, kruskal
+
+    rb = min(row_block, max(128, 1 << max(n - 1, 1).bit_length()))
+    xp, coll = bm.pack_bitmaps_packed(hashes, bits=bits, pad_n_to=rb)
+    n_pad = xp.shape[0]
+    sizes = np.zeros(n_pad, dtype=np.int32)
+    sizes[:n] = [len(h) for h in hashes]
+    j_min = min_jaccard_for_threshold(threshold, kmer_size)
+    c_min = math.exp(-threshold * kmer_size)
+    radio = size_ratio_limit(threshold, kmer_size - 1)
+
+    # triangular tile sweep, padded to a power of two so the number of
+    # distinct compiled (T, n_pad) shapes stays logarithmic
+    tiles = [(r0, c0) for r0 in range(0, n_pad, rb)
+             for c0 in range(0, r0 + rb, rb)]
+    t_cap = 1
+    while t_cap < len(tiles):
+        t_cap *= 2
+    r0s = np.zeros(t_cap, dtype=np.int32)
+    c0s = np.zeros(t_cap, dtype=np.int32)
+    valid = np.zeros(t_cap, dtype=np.int32)
+    for t, (r0, c0) in enumerate(tiles):
+        r0s[t], c0s[t], valid[t] = r0, c0, 1
+    r0s_d, c0s_d, val_d = jnp.asarray(r0s), jnp.asarray(c0s), \
+        jnp.asarray(valid)
+
+    # build: one dispatch, masks stay resident — counts are NOT pulled
+    scalars = (jnp.float32(j_min), jnp.float32(1.0 + j_min),
+               jnp.float32(c_min), jnp.int32(radio))
+    _counts_dev, packs = bm._jitted_batched_mask()(
+        jnp.asarray(xp), jnp.asarray(coll), jnp.asarray(sizes),
+        r0s_d, c0s_d, val_d, *scalars, is_containment, rb)
+
+    uf = UnionFind(n)
+    csr = bm.CsrSketches(hashes)
+    sizes64 = sizes.astype(np.int64)
+    kept_i: List[int] = []
+    kept_j: List[int] = []
+    kept_d: List[float] = []
+    round_prog = _jitted_round()
+
+    def labels_arr():
+        roots = np.full(n_pad, -1, dtype=np.int32)
+        roots[:n] = uf.roots_array()[:n]
+        # padded rows keep distinct labels (they are maskless anyway)
+        roots[n:] = n + np.arange(n_pad - n, dtype=np.int32)
+        return roots
+
+    clr = (np.zeros(1024, dtype=np.int32), np.zeros(1024, dtype=np.int32),
+           np.zeros(1024, dtype=np.int32), np.zeros(1024, dtype=np.uint8))
+    rounds = 0
+    converged = False
+    from ..utils.profiling import maybe_trace
+    with maybe_trace("labelprop_cluster"):
+        while rounds < max_rounds:
+            rounds += 1
+            packs, fused_dev = round_prog(
+                packs, jnp.asarray(labels_arr()),
+                jnp.asarray(clr[0]), jnp.asarray(clr[1]),
+                jnp.asarray(clr[2]), jnp.asarray(clr[3]),
+                r0s_d, c0s_d, val_d, rb)
+            t0 = time.perf_counter()
+            fused = np.asarray(fused_dev)
+            bm._note_pull_time(fused.nbytes, time.perf_counter() - t0)
+            bm._account_pull(fused.nbytes)
+            cross = int(fused[0])
+            if cross == 0:
+                converged = True
+                break
+            row_p = fused[1:1 + n_pad]
+            col_p = fused[1 + n_pad:]
+            g = np.arange(n_pad, dtype=np.int64)
+            rp = row_p < SENT
+            cp = col_p < SENT
+            ii = np.concatenate([g[rp], col_p[cp].astype(np.int64)])
+            jj = np.concatenate([row_p[rp].astype(np.int64), g[cp]])
+            # dedup (a pair may be proposed by both its row and its column)
+            key = ii * n_pad + jj
+            _, sel = np.unique(key, return_index=True)
+            ii, jj = ii[sel], jj[sel]
+            common = csr.count_common(ii, jj)
+            if is_containment:
+                d = aaf_distance(common, sizes64[ii], sizes64[jj], kmer_size)
+            else:
+                d = mash_distance(common, sizes64[ii], sizes64[jj],
+                                  kmer_size)
+            ok = (common > 0) & (d <= threshold)
+            for a, b, dd in zip(ii[ok].tolist(), jj[ok].tolist(),
+                                d[ok].tolist()):
+                if not uf.connected(a, b):
+                    uf.merge(a, b)
+                    kept_i.append(a)
+                    kept_j.append(b)
+                    kept_d.append(dd)
+            # failed pairs -> clear-list for the next dispatch
+            fi, fj = ii[~ok], jj[~ok]
+            clr = _encode_clear(fi, fj, rb)
+    if not converged:
+        _lp_fallback(packs, tiles, rb, n, uf, csr, sizes64, threshold,
+                     kmer_size, is_containment, kept_i, kept_j, kept_d)
+
+    forest = kruskal((np.asarray(kept_i, dtype=np.int64),
+                      np.asarray(kept_j, dtype=np.int64),
+                      np.asarray(kept_d, dtype=np.float64)), n)
+    return clusters_from_forest(forest, n)
+
+
+def _encode_clear(fi: np.ndarray, fj: np.ndarray,
+                  rb: int) -> Tuple[np.ndarray, ...]:
+    """(t, row, byte, bit-value) clear-list arrays (ladder-padded) for
+    failed pairs (i > j) in the triangular tile order of the build sweep."""
+    cap = _clear_quantum(len(fi))
+    t = np.zeros(cap, dtype=np.int32)
+    r = np.zeros(cap, dtype=np.int32)
+    b = np.zeros(cap, dtype=np.int32)
+    sub = np.zeros(cap, dtype=np.uint8)
+    if len(fi):
+        rblk = fi // rb
+        cblk = fj // rb
+        t[:len(fi)] = (rblk * (rblk + 1) // 2 + cblk).astype(np.int32)
+        r[:len(fi)] = (fi % rb).astype(np.int32)
+        jl = fj % rb
+        b[:len(fi)] = (jl // 8).astype(np.int32)
+        sub[:len(fi)] = (1 << (jl % 8)).astype(np.uint8)
+    return t, r, b, sub
+
+
+def _lp_fallback(packs, tiles, rb, n, uf, csr, sizes64, threshold,
+                 kmer_size, is_containment, kept_i, kept_j, kept_d):
+    """Exact termination for pathological inputs that exhaust max_rounds:
+    pull the remaining resident masks once and finish with the
+    union-find-gated host verifier (ops.cluster_fast semantics)."""
+    from .cluster_fast import _gated_verify_block
+
+    packs_np = np.asarray(packs)
+    bm._account_pull(packs_np.nbytes)
+    roots = uf.roots_array()
+    for t, (r0, c0) in enumerate(tiles):
+        bits2d = np.unpackbits(packs_np[t], axis=1, bitorder="little")
+        il, jl = np.nonzero(bits2d)
+        ii = il.astype(np.int64) + r0
+        jj = jl.astype(np.int64) + c0
+        inb = (ii < n) & (jj < n)
+        ii, jj = ii[inb], jj[inb]
+        keep = roots[ii] != roots[jj]
+        _gated_verify_block(uf, csr, sizes64, ii[keep], jj[keep], threshold,
+                            kmer_size, is_containment, kept_i, kept_j,
+                            kept_d)
+        roots = uf.roots_array()

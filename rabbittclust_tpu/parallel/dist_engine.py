@@ -142,7 +142,10 @@ def distributed_candidate_stats(packed_plane0: np.ndarray,
         mesh = make_mesh()
     n_dev = mesh.devices.size
     n = packed_plane0.shape[0]
-    assert n % n_dev == 0, (n, n_dev)
+    if n % n_dev != 0:
+        raise ValueError(
+            f"packed rows ({n}) must be a multiple of the mesh size "
+            f"({n_dev}); pad with pack_sketches(pad_n_to=n_dev)")
     radio = size_ratio_limit(threshold, kmer_size - 1)
     ring_fn = build_ring_fn(threshold, kmer_size, radio)
 
@@ -240,7 +243,10 @@ def distributed_candidate_edges(packed_plane0: np.ndarray,
         mesh = make_mesh()
     n_dev = mesh.devices.size
     n = packed_plane0.shape[0]
-    assert n % n_dev == 0, (n, n_dev)
+    if n % n_dev != 0:
+        raise ValueError(
+            f"packed rows ({n}) must be a multiple of the mesh size "
+            f"({n_dev}); pad with pack_sketches(pad_n_to=n_dev)")
     if radio is None:
         radio = size_ratio_limit(threshold, kmer_size - 1)
     two = packed_plane1 is not None
@@ -426,27 +432,34 @@ def distributed_candidate_pairs_bitmap(hashes, threshold: float,
 
 def distributed_mst(hashes, threshold: float, kmer_size: int,
                     is_containment: bool = False, mesh=None,
-                    cap: int = 4096, engine: str = "exact",
-                    bits: int = 8192):
+                    cap: int = 4096, engine: str = "auto",
+                    bits: int = 8192, full_mst: bool = False):
     """MST over a device mesh (edge-partition MST theorem).
 
-    engine="exact" (default): bucket-packed exact-count ring -> float64
-    distances on host -> Kruskal.  The candidate set is every pair with
-    common >= 1 passing the size-ratio prefilter — byte-equal to the host
-    compute_mst / reference edge.mst, valid for cuts at ANY threshold.
+    engine="auto" (default) mirrors cluster.mst.compute_mst(backend="auto"):
+    it selects by USE — the fast MXU "bitmap" ring when the MST only needs
+    to be exact for cuts <= ``threshold`` (clustering / re-clustering at
+    smaller d, the common case), and the full "exact" ring when
+    ``full_mst=True`` (the MST will be persisted as edge.mst and re-cut at
+    ARBITRARY thresholds, e.g. --premsted at a larger d).
+
+    engine="exact": bucket-packed exact-count ring -> float64 distances on
+    host -> Kruskal.  The candidate set is every pair with common >= 1
+    passing the size-ratio prefilter — byte-equal to the host compute_mst /
+    reference edge.mst, valid for cuts at ANY threshold.
 
     engine="bitmap": MXU bitmap-filter ring (build_ring_bitmap_fn) + native
     exact verify — inherits the single-chip filter's speed.  The candidate
     bound is threshold-dependent, so the returned MST is exact for every
-    cut <= threshold (what clustering and re-clustering at smaller d use)
-    but may lack candidate edges above it; pass engine="exact" when the
-    full-graph MST is required (e.g. --premsted re-cluster at a LARGER d)."""
+    cut <= threshold but may lack candidate edges above it."""
     from ..ops.pack import pack_sketches
     from ..cluster.mst import MstResult, kruskal
     from ..distance.mash import aaf_distance, mash_distance
 
     if mesh is None:
         mesh = make_mesh()
+    if engine == "auto":
+        engine = "exact" if full_mst else "bitmap"
     if engine == "bitmap":
         from ..ops.bitmap import CsrSketches
 

@@ -161,11 +161,19 @@ def multihost_candidate_pairs_bitmap(
     n_proc = jax.process_count()
     pid = jax.process_index()
     lo, hi = shard_bounds(n_total, n_proc, pid)
-    assert len(local_hashes) == hi - lo, (len(local_hashes), lo, hi)
+    if len(local_hashes) != hi - lo:
+        raise ValueError(
+            f"process {pid} passed {len(local_hashes)} local sketches but "
+            f"owns the global block [{lo}, {hi}) of n_total={n_total}; "
+            f"slice the input with shard_bounds(n_total, {n_proc}, {pid})")
     # global row padding: every process block padded to the same length so
     # device shards align (n_pad = per * n_proc, divisible by n_dev)
     per = -(-n_total // n_proc)
-    assert n_dev % n_proc == 0, (n_dev, n_proc)
+    if n_dev % n_proc != 0:
+        raise ValueError(
+            f"the global mesh has {n_dev} devices across {n_proc} processes "
+            f"— devices must divide evenly per process (pods do); got "
+            f"{n_dev} % {n_proc} != 0")
     dev_per_proc = n_dev // n_proc
     per = -(-per // dev_per_proc) * dev_per_proc
     n_pad = per * n_proc

@@ -19,6 +19,17 @@ def configure_jax(cache_dir: str | None = None) -> None:
     _configured = True
     import jax
 
+    # RTC_PLATFORM=cpu forces the host backend even where a sitecustomize
+    # registered a TPU platform at interpreter start (the JAX_PLATFORMS env
+    # var alone is not enough there) — used by tests, the verify drive, and
+    # deployments with an unreachable accelerator.
+    plat = os.environ.get("RTC_PLATFORM")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
     if cache_dir is None:
         root = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
