@@ -142,7 +142,7 @@ def partition_digest(clusters):
 def device_child():
     """Run the device path in an isolated process (invoked as a subprocess
     so a hung tunnel can be killed by the parent's timeout)."""
-    n = int(os.environ.get("BENCH_N", "16384"))
+    n = int(os.environ.get("BENCH_N", "65536"))
     s = int(os.environ.get("BENCH_S", "1000"))
     threshold = 0.05
     kmer_size = 21
@@ -182,7 +182,7 @@ def device_child():
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", "16384"))
+    n = int(os.environ.get("BENCH_N", "65536"))
     s = int(os.environ.get("BENCH_S", "1000"))
     threshold = 0.05
     kmer_size = 21

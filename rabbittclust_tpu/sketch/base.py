@@ -13,6 +13,29 @@ from typing import Any, List
 import numpy as np
 
 
+def stdsort_size_desc(sizes: np.ndarray) -> np.ndarray:
+    """KSSD greedy ordering with REFERENCE tie order.  The reference sorts
+    with std::sort and a size-only comparator (greedy.cpp:594-597) —
+    UNSTABLE, so sketch-size ties land in libstdc++-introsort order, not id
+    order.  We reproduce the permutation bit-for-bit by calling the real
+    libstdc++ std::sort in the native library (rtc_stdsort_size_desc); the
+    lexsort fallback (id-ascending ties) only diverges under size ties at
+    n > 16, where introsort stops being insertion sort."""
+    from ..utils import native as native_mod
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    n = len(sizes)
+    lib = native_mod.load_native()
+    if lib is not None and hasattr(lib, "rtc_stdsort_size_desc"):
+        import ctypes
+        out = np.empty(n, dtype=np.int32)
+        lib.rtc_stdsort_size_desc(
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(n),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out.astype(np.int64)
+    return np.lexsort((np.arange(n), -sizes))
+
+
 @dataclass
 class SketchSet:
     kind: str                      # "kssd" | "minhash"
@@ -82,26 +105,9 @@ class SketchSet:
         return order
 
     def kssd_greedy_order(self) -> np.ndarray:
-        """KSSD greedy ordering with REFERENCE tie order.  The reference
-        sorts with std::sort and a size-only comparator
-        (greedy.cpp:594-597) — UNSTABLE, so sketch-size ties land in
-        libstdc++-introsort order, not id order.  We reproduce the
-        permutation bit-for-bit by calling the real libstdc++ std::sort in
-        the native library (rtc_stdsort_size_desc); the lexsort fallback
-        (id-ascending ties) only diverges under size ties at n > 16, where
-        introsort stops being insertion sort."""
-        from ..utils import native as native_mod
-        sizes = self.sizes.astype(np.int64)
-        lib = native_mod.load_native()
-        if lib is not None and hasattr(lib, "rtc_stdsort_size_desc"):
-            import ctypes
-            out = np.empty(len(self), dtype=np.int32)
-            lib.rtc_stdsort_size_desc(
-                sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                ctypes.c_int64(len(self)),
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
-            return out.astype(np.int64)
-        return np.lexsort((np.arange(len(self)), -sizes))
+        """KSSD greedy ordering with REFERENCE tie order (see
+        stdsort_size_desc)."""
+        return stdsort_size_desc(self.sizes)
 
     def minhash_presketched_order(self) -> np.ndarray:
         """Ordering for the presketched MinHash greedy path: the reference
