@@ -26,6 +26,10 @@ def main(argv=None) -> int:
         from .repdb import run_greedy_repdb
         return run_greedy_repdb(args, opts)
 
+    if getattr(args, "multihost", None):
+        from .clust_mst import run_multihost
+        return run_multihost(args, is_containment, "greedy")
+
     if args.is_fast and args.presketched and not args.append:
         wf.clust_from_sketch_fast(args.presketched, args.output,
                                   args.threshold, args.threads,

@@ -15,6 +15,10 @@ def main(argv=None) -> int:
     validate_common(args, "leiden")
     opts = make_output_options(args, "leiden")
 
+    if getattr(args, "multihost", None):
+        from .clust_mst import run_multihost
+        return run_multihost(args, False, "leiden")
+
     use_louvain = args.use_louvain
     knn_k = args.knn_k
     if use_louvain and knn_k == 0:

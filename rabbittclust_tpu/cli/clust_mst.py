@@ -38,6 +38,9 @@ def main(argv=None) -> int:
         from .repdb import run_mst_repdb
         return run_mst_repdb(args, opts)
 
+    if getattr(args, "multihost", None):
+        return run_multihost(args, is_containment, "mst")
+
     if args.is_fast:
         if args.build_db:
             if not args.sketch_by_file:
@@ -111,6 +114,38 @@ def main(argv=None) -> int:
         args.input, args.output, None, args.sketch_by_file, tuned.kmer_size,
         args.sketch_size or 1000, args.threshold, tuned.is_containment,
         tuned.contain_compress, args.min_len, args.threads, opts, module)
+    return 0
+
+
+def run_multihost(args, is_containment: bool, module: str) -> int:
+    """Shared --multihost dispatch for clust-mst/clust-greedy/clust-leiden
+    (KSSD fresh-genome input)."""
+    if not args.is_fast:
+        print("ERROR: --multihost requires --fast (KSSD sketches)",
+              file=sys.stderr)
+        return 1
+    if not args.input:
+        print("ERROR: --multihost requires -i/--input genomes",
+              file=sys.stderr)
+        return 1
+    if args.presketched or getattr(args, "premsted", None) or args.append:
+        print("ERROR: --multihost supports fresh genome input only",
+              file=sys.stderr)
+        return 1
+    from ..workflows_dist import clust_mst_multihost, parse_multihost_spec
+    coord, n_proc, pid = parse_multihost_spec(args.multihost)
+    import os
+    vdev = os.environ.get("RTC_VIRTUAL_CPU_DEVICES")
+    clust_mst_multihost(
+        args.input, args.output, coord, n_proc, pid,
+        sketch_by_file=args.sketch_by_file, is_containment=is_containment,
+        kmer_size=args.kmer_size, threshold=args.threshold,
+        drlevel=args.drlevel, min_len=args.min_len, threads=args.threads,
+        module=module,
+        resolution=getattr(args, "resolution", 1.0),
+        use_leiden=not getattr(args, "use_louvain", False),
+        knn_k=getattr(args, "knn_k", 0),
+        virtual_cpu_devices=int(vdev) if vdev else None)
     return 0
 
 

@@ -83,7 +83,17 @@ def base_parser(module: str) -> argparse.ArgumentParser:
                         "pre-generated sketch or MST files")
     p.add_argument("--device", dest="use_device", action="store_true",
                    help="run the pairwise-distance engine on the TPU "
-                        "(JAX/Pallas) instead of the host path")
+                        "(JAX/Pallas) instead of the host path; with more "
+                        "than one visible device the mesh ring engine is "
+                        "auto-selected for the MST phase")
+    if module in ("mst", "greedy", "leiden"):
+        p.add_argument("--multihost", default=None,
+                       metavar="COORD:PORT,NPROC,PID",
+                       help="run distributed across jax.distributed "
+                            "processes (one per host): coordinator "
+                            "address, process count, this process's id. "
+                            "KSSD (--fast) fresh-genome input only; see "
+                            "scripts/launch_multihost.py")
     if module in ("mst", "greedy"):
         p.add_argument("--dense", action="store_true",
                        help="enable density maps, ANI histogram, and MST "

@@ -33,6 +33,15 @@ from ..distance.mash import aaf_distance, mash_distance, \
 from .bitmap import CsrSketches, _unpack_bits_device, pack_bitmaps_packed
 
 
+def _first_shared_pos(inv: List[np.ndarray], j: int, r: int) -> int:
+    """Position, in genome j's sorted hash array, of the first hash shared
+    with rep r — the probe-touch key of the serial host engine (sketches
+    are sorted ascending, so the first shared hash in probe order is the
+    smallest common hash)."""
+    common = np.intersect1d(inv[j], inv[r], assume_unique=True)
+    return int(np.searchsorted(inv[j], common[0]))
+
+
 def _greedy_filter_fn(x_all, batch_idx, rep_idx, coll, sizes, jmin_num,
                       jmin_den, c_min, radio_f, is_containment, cap,
                       triangular=False):
@@ -110,10 +119,11 @@ def greedy_cluster_device(
     ``conflict`` selects the in-batch semantics:
       * "serial" (default): an extra triangular in-batch matmul supplies
         candidates among batch members, and the exact serial greedy loop is
-        replayed on the host over the precomputed candidate distances —
-        equivalent to the reference's default serial algorithm
-        (greedy.cpp:566-899) except that exact-distance ties resolve to the
-        smallest rep id rather than hash-posting touch order;
+        replayed on the host over the precomputed candidate counts —
+        BIT-EXACT vs the reference's default serial algorithm
+        (greedy.cpp:566-899) including exact-similarity ties, which resolve
+        to the first-touched rep of the index probe (minimal
+        (first-shared-hash position, rep creation rank));
       * "batched": bit-exact match of
         cluster.greedy.greedy_cluster_batched at the same batch_size
         (reference's experimental batched variant semantics — batch members
@@ -173,17 +183,17 @@ def greedy_cluster_device(
             cap *= 4
         if not count:
             e = np.empty(0, dtype=np.int64)
-            return e, e.copy(), np.empty(0, dtype=np.float64)
+            return e, e.copy(), e.copy(), np.empty(0, dtype=np.float64)
         flat = fused[1:1 + count].astype(np.int64)
         bi = batch_idx[flat // other_cap].astype(np.int64)
         ri = other_idx[flat % other_cap].astype(np.int64)
-        common = csr.count_common(bi, ri)
+        common = csr.count_common(bi, ri).astype(np.int64)
         if is_containment:
             d = aaf_distance(common, sizes[bi], sizes[ri], kmer_size)
         else:
             d = mash_distance(common, sizes[bi], sizes[ri], kmer_size)
-        ok = (common > 0) & (d <= threshold)
-        return bi[ok], ri[ok], d[ok]
+        ok = common > 0
+        return bi[ok], ri[ok], common[ok], d[ok]
 
     for b0 in range(1, n, batch_size):
         b1 = min(b0 + batch_size, n)
@@ -197,30 +207,64 @@ def greedy_cluster_device(
         if conflict == "serial":
             # in-batch candidate pairs (column position < row position)
             vs_batch = _run_filter(batch_idx, batch_idx, batch_size, True)
-            # per-batch-member candidate list: (dist, cand_id)
+            # per-batch-member candidate list: (cand_id, common)
             cand = {j: [] for j in range(b0, b1)}
-            for b, r, dd in zip(*[x.tolist() for x in vs_reps]):
-                cand[b].append((dd, r))
-            for b, r, dd in zip(vs_batch[0].tolist(), vs_batch[1].tolist(),
+            for b, r, cm in zip(vs_reps[0].tolist(), vs_reps[1].tolist(),
+                                vs_reps[2].tolist()):
+                cand[b].append((r, cm))
+            for b, r, cm in zip(vs_batch[0].tolist(), vs_batch[1].tolist(),
                                 vs_batch[2].tolist()):
-                cand[b].append((dd, r))
-            rep_set = set(rep_order)
+                cand[b].append((r, cm))
+            rep_rank = {r: k for k, r in enumerate(rep_order)}
             for j in range(b0, b1):
-                best_d, best_rep = float("inf"), -1
-                for dd, r in cand[j]:
-                    if r in rep_set and (dd < best_d or
-                                         (dd == best_d and r < best_rep)):
-                        best_d, best_rep = dd, r
+                sj = int(sizes[j])
+                best_sim, best_rep = -1.0, -1
+                tied: List[int] = []
+                for r, cm in cand[j]:
+                    if r not in rep_rank:
+                        continue
+                    # exact accept bound + similarity, replicating the
+                    # serial host engine bit-for-bit (greedy_cluster /
+                    # reference greedy.cpp:770-816): the integer
+                    # common-count bound IS the decision, and comparisons
+                    # use the f64 similarity, not the log distance
+                    sr = int(sizes[r])
+                    if is_containment:
+                        mn = min(sj, sr)
+                        if cm < math.ceil(c_min * mn):
+                            continue
+                        sim = 1.0 if mn == 0 else cm / mn
+                    else:
+                        if cm < math.ceil(
+                                j_min * (sj + sr) / (1.0 + j_min)):
+                            continue
+                        denom = sj + sr - cm
+                        sim = 1.0 if denom == 0 else cm / denom
+                    if sim > best_sim:
+                        best_sim, best_rep = sim, r
+                        tied = [r]
+                    elif sim == best_sim:
+                        tied.append(r)
+                if len(tied) > 1:
+                    # exact-similarity tie: the serial host's winner is the
+                    # FIRST-TOUCHED rep during the index probe — minimal
+                    # (position of first shared hash in j's sorted array,
+                    # rep creation rank); replicated exactly here
+                    best_rep = min(
+                        tied, key=lambda r: (_first_shared_pos(inv, j, r),
+                                             rep_rank[r]))
                 if best_rep != -1:
                     members[best_rep].append(j)
                 else:
+                    rep_rank[j] = len(rep_order)
                     rep_order.append(j)
-                    rep_set.add(j)
                     members[j] = []
         else:  # "batched"
+            ok = vs_reps[3] <= threshold
             best = {}
-            for b, r, dd in zip(vs_reps[0].tolist(), vs_reps[1].tolist(),
-                                vs_reps[2].tolist()):
+            for b, r, dd in zip(vs_reps[0][ok].tolist(),
+                                vs_reps[1][ok].tolist(),
+                                vs_reps[3][ok].tolist()):
                 cur = best.get(b)
                 if cur is None or dd < cur[0] or (dd == cur[0] and
                                                   r < cur[1]):

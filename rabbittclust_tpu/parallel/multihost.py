@@ -318,6 +318,194 @@ def multihost_mst(local_hashes: List[np.ndarray], n_total: int,
     return MstResult(mst=kruskal((gi, gj, gd), n_total), n=n_total)
 
 
+def multihost_similarity_graph(local_hashes: List[np.ndarray], n_total: int,
+                               threshold: float, kmer_size: int,
+                               bits: int = 8192, cap: Optional[int] = None,
+                               mesh=None):
+    """Leiden similarity graph across hosts: edge iff dist < threshold and
+    size ratio >= 0.5, weight = 1 - dist (leiden.cpp:188-256 semantics) —
+    identical edge set and float64 weights as
+    cluster.leiden.build_similarity_graph on every host.
+
+    The global bitmap ring generates candidates (ratio prefilter widened to
+    cover the Leiden >= 0.5 window); each process exact-verifies ITS
+    candidates against the allgathered sketch store; the per-process edge
+    lists are allgathered (tiny) so every host holds the full graph."""
+    import math
+    from jax.experimental import multihost_utils
+    from ..distance.mash import mash_distance
+    from ..ops.bitmap import CsrSketches
+
+    if mesh is None:
+        mesh = global_mesh()
+    use64 = bool(np.asarray(multihost_utils.process_allgather(np.int64(
+        len(local_hashes) > 0 and local_hashes[0].dtype == np.uint64
+    ))).max())
+    radio_safe = max(2, int(math.ceil(2.0 * math.exp(
+        threshold * kmer_size))) + 1)
+    ii, jj = multihost_candidate_pairs_bitmap(
+        local_hashes, n_total, threshold, kmer_size, bits=bits, cap=cap,
+        radio=radio_safe, mesh=mesh)
+    all_hashes = allgather_sketches(local_hashes, use64)
+    sizes = np.array([len(h) for h in all_hashes], dtype=np.int64)
+    common = CsrSketches(all_hashes).count_common(ii, jj).astype(np.int64)
+    nz = common > 0
+    ii, jj, common = ii[nz], jj[nz], common[nz]
+    s0, s1 = sizes[ii], sizes[jj]
+    ratio = np.minimum(s0, s1) / np.maximum(np.maximum(s0, s1), 1)
+    d = np.clip(mash_distance(common, s0, s1, kmer_size), 0.0, 1.0)
+    ok = (ratio >= 0.5) & (d < threshold)
+    frm = np.minimum(ii[ok], jj[ok])
+    to = np.maximum(ii[ok], jj[ok])
+    ww = 1.0 - d[ok]
+    # allgather per-process edges; canonical (frm, to) sort -> identical
+    # graph arrays on every host regardless of ring decode order
+    gf = np.concatenate(_allgather_ragged(frm))
+    gt = np.concatenate(_allgather_ragged(to))
+    gw = np.concatenate(_allgather_ragged(ww))
+    order = np.lexsort((gt, gf))
+    return gf[order], gt[order], gw[order], all_hashes
+
+
+def multihost_leiden(local_hashes: List[np.ndarray], n_total: int,
+                     threshold: float, kmer_size: int,
+                     resolution: float = 1.0, use_leiden: bool = True,
+                     knn_k: int = 0, bits: int = 8192,
+                     cap: Optional[int] = None, mesh=None,
+                     edge_parallel: bool = False) -> List[List[int]]:
+    """Distributed clust-leiden: graph build sharded across hosts, then the
+    deterministic Louvain/Leiden runs on every host over the identical
+    merged graph — all processes return the same partition as the
+    single-host cluster.leiden.community_clusters."""
+    from ..cluster.leiden import _knn_prune, cluster_graph
+
+    frm, to, ww, _ = multihost_similarity_graph(
+        local_hashes, n_total, threshold, kmer_size, bits=bits, cap=cap,
+        mesh=mesh)
+    graph = _knn_prune(frm, to, ww, knn_k)
+    return cluster_graph(n_total, graph, resolution, use_leiden,
+                         edge_parallel=edge_parallel)
+
+
+def multihost_greedy(local_hashes: List[np.ndarray], n_total: int,
+                     threshold: float, kmer_size: int,
+                     is_containment: bool = False, batch: int = 2048):
+    """Distributed greedy clustering with EXACT serial semantics.
+
+    Returns (clusters_in_sorted_space, order) — identical on every process
+    and equal to greedy_cluster(sorted_hashes, presorted=True) on the
+    kssd greedy order (reference KssdGreedyClusterWithInvertedIndex,
+    greedy.cpp:566-899).
+
+    Design: sketches are allgathered (tiny by design); the O(N x postings)
+    SCORING phase — probing each genome against the representative
+    inverted index — is sharded across processes per batch; the serial
+    commit is replayed identically on every host.  Exactness on intra-batch
+    conflicts: a genome whose batch created an earlier new rep that could
+    beat-or-tie its pre-scored best is re-probed against the live index,
+    preserving the serial engine's first-touch tie order (a strictly-worse
+    new rep can never win under the strict '>' rule, so the pre-scored
+    winner stands)."""
+    import math
+    import jax
+    from jax.experimental import multihost_utils
+    from ..cluster.greedy import RepInvertedIndex
+    from ..distance.mash import min_jaccard_for_threshold
+    from ..sketch.base import stdsort_size_desc
+
+    use64 = bool(np.asarray(multihost_utils.process_allgather(np.int64(
+        len(local_hashes) > 0 and local_hashes[0].dtype == np.uint64
+    ))).max())
+    all_hashes = allgather_sketches(local_hashes, use64)
+    sizes0 = np.array([len(h) for h in all_hashes], dtype=np.int64)
+    order = stdsort_size_desc(sizes0)
+    inv = [all_hashes[i] for i in order]
+    sizes = sizes0[order]
+    n = n_total
+    j_min = min_jaccard_for_threshold(threshold, kmer_size)
+    c_min = math.exp(-threshold * kmer_size)
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+
+    index = RepInvertedIndex()
+    representatives = [0]
+    rep2cid = {0: 0}
+    members: List[List[int]] = [[]]
+    if n:
+        index.add_representative(0, inv[0])
+
+    def pair_sim(g: int, r: int) -> float:
+        """Similarity of (g, r) under the greedy bound filter; -1 = no
+        candidate (same math as greedy_cluster's inner loop)."""
+        common = len(np.intersect1d(inv[g], inv[r], assume_unique=True))
+        sg, sr = int(sizes[g]), int(sizes[r])
+        if is_containment:
+            mn = min(sg, sr)
+            if common < math.ceil(c_min * mn):
+                return -1.0
+            return 1.0 if mn == 0 else common / mn
+        common_min = math.ceil(j_min * (sg + sr) / (1.0 + j_min))
+        if common < common_min:
+            return -1.0
+        denom = sg + sr - common
+        return 1.0 if denom == 0 else common / denom
+
+    def score(g: int):
+        touched, counts = index.probe(inv[g])
+        best_sim, best_rep = -1.0, -1
+        sg = int(sizes[g])
+        for rep_id, common in zip(touched, counts):
+            sr = int(sizes[rep_id])
+            if is_containment:
+                mn = min(sg, sr)
+                if common < math.ceil(c_min * mn):
+                    continue
+                sim = 1.0 if mn == 0 else common / mn
+            else:
+                common_min = math.ceil(j_min * (sg + sr) / (1.0 + j_min))
+                if common < common_min:
+                    continue
+                denom = sg + sr - common
+                sim = 1.0 if denom == 0 else common / denom
+            if sim > best_sim:  # strict: first-touch wins ties
+                best_sim = sim
+                best_rep = rep_id
+        return best_sim, best_rep
+
+    b0 = 1
+    while b0 < n:
+        b1 = min(b0 + batch, n)
+        gs = np.arange(b0, b1, dtype=np.int64)
+        lo, hi = shard_bounds(len(gs), n_proc, pid)
+        my_sim = np.empty(hi - lo, dtype=np.float64)
+        my_rep = np.empty(hi - lo, dtype=np.int64)
+        for t, g in enumerate(gs[lo:hi].tolist()):
+            s, r = score(g)
+            my_sim[t], my_rep[t] = s, r
+        sims = np.concatenate(_allgather_ragged(my_sim))
+        reps_pre = np.concatenate(_allgather_ragged(my_rep))
+        new_reps: List[int] = []
+        for t, g in enumerate(gs.tolist()):
+            best_sim, best_rep = float(sims[t]), int(reps_pre[t])
+            # conflict: an intra-batch new rep is a CANDIDATE (passes the
+            # bound) and beats-or-ties the pre-scored best — only then can
+            # the serial outcome differ, so re-probe against the live index
+            if any(s >= 0.0 and s >= best_sim
+                   for s in (pair_sim(g, r) for r in new_reps)):
+                best_sim, best_rep = score(g)  # exact serial re-probe
+            if best_rep != -1:
+                members[rep2cid[best_rep]].append(g)
+            else:
+                rep2cid[g] = len(representatives)
+                representatives.append(g)
+                members.append([])
+                index.add_representative(g, inv[g])
+                new_reps.append(g)
+        b0 = b1
+    clusters = [[rep] + mem for rep, mem in zip(representatives, members)]
+    return clusters, order
+
+
 # ----------------------------------------------------------------------
 # CPU-simulation launcher + self-test child (used by tests and the driver
 # dry-run; mirrors how a real pod launch would run one process per host)
@@ -404,9 +592,34 @@ def _sim_child(process_id: int, num_processes: int, port: int,
     assert cb[0].tolist() == chost[0].tolist()
     assert cb[1].tolist() == chost[1].tolist()
     assert cb[2].tolist() == chost[2].tolist()
-    digest = hashlib.sha256(repr(canon).encode()).hexdigest()[:16]
+    # multihost leiden == single-host community_clusters (identical graph,
+    # same deterministic Louvain/Leiden on every host)
+    from ..cluster.leiden import build_similarity_graph, community_clusters
+    cl_mh = multihost_leiden(hashes[lo:hi], n_genomes, 0.05, 21, bits=2048)
+    cl_host = community_clusters(hashes, 0.05, 21)
+    assert cl_mh == cl_host, "multihost leiden != single-host leiden"
+    gf, gt, gw, _ = multihost_similarity_graph(hashes[lo:hi], n_genomes,
+                                               0.05, 21, bits=2048)
+    hf, ht, hw = build_similarity_graph(hashes, 0.05, 21)
+    assert sorted(zip(gf.tolist(), gt.tolist(), gw.tolist())) == \
+        sorted(zip(hf.tolist(), ht.tolist(), hw.tolist())), \
+        "multihost similarity graph != host graph"
+    # multihost greedy == serial greedy on the same sorted order
+    from ..cluster.greedy import greedy_cluster
+    from ..sketch.base import stdsort_size_desc
+    g_mh, g_order = multihost_greedy(hashes[lo:hi], n_genomes, 0.05, 21,
+                                     batch=13)
+    order = stdsort_size_desc(
+        np.array([len(h) for h in hashes], dtype=np.int64))
+    assert g_order.tolist() == order.tolist()
+    g_host = greedy_cluster([hashes[i] for i in order], 0.05, 21,
+                            presorted=True)
+    assert g_mh == g_host.clusters, "multihost greedy != serial greedy"
+    digest = hashlib.sha256(repr(
+        (canon, cl_mh, g_mh)).encode()).hexdigest()[:16]
     print(f"OK proc={process_id}/{num_processes} "
           f"devices={len(jax.devices())} clusters={len(clusters)} "
+          f"leiden={len(cl_mh)} greedy={len(g_mh)} "
           f"digest={digest}", flush=True)
 
 

@@ -242,6 +242,31 @@ def _compute_mst_engine(ss: SketchSet, threshold: float, kmer_size: int,
                         start_index: int = 0, pre_edges=None,
                         threads: int = 0) -> MstResult:
     if opts.use_device:
+        from .utils.jaxcfg import configure_jax
+        configure_jax()
+        import jax
+        n_dev = len(jax.devices())
+        mesh_pref = os.environ.get("RTC_MESH", "auto")
+        use_mesh = (mesh_pref == "1" or
+                    (mesh_pref == "auto" and n_dev > 1)) \
+            and start_index == 0 and pre_edges is None and not opts.dense
+        if use_mesh:
+            # >1 visible chips: ring-sharded pair tiles over the mesh
+            # (ICI traffic; edge-partition MST theorem).  The fast bitmap
+            # ring suffices when the MST is only cut at <= threshold
+            # (plain -e cluster run); anything that persists or analyzes
+            # the MST (edge.mst reuse at other thresholds, trees,
+            # auto-threshold) needs the full exact ring.
+            from .parallel.dist_engine import distributed_mst
+            full = (not opts.no_save) or opts.newick_tree \
+                or opts.phylip_tree or opts.nexus_tree \
+                or opts.linkage_matrix or opts.auto_threshold \
+                or opts.stability
+            log(f"-----using the {n_dev}-device mesh ring engine "
+                f"({'exact' if full else 'bitmap'})")
+            return distributed_mst(ss.hashes, threshold, kmer_size,
+                                   is_containment=is_containment,
+                                   full_mst=full)
         from .ops.engine import compute_mst_device
         return compute_mst_device(
             ss.hashes, threshold, kmer_size, is_containment=is_containment,

@@ -116,7 +116,9 @@ def clust_mst_multihost(input_file: str, output_file: str,
                         threshold: float = 0.05, drlevel: int = 3,
                         min_len: int = 10000, threads: int = 0,
                         virtual_cpu_devices: Optional[int] = None,
-                        bits: int = 8192, module: str = "mst"):
+                        bits: int = 8192, module: str = "mst",
+                        resolution: float = 1.0, use_leiden: bool = True,
+                        knn_k: int = 0):
     """clust-mst/--multihost: distributed KSSD clustering from genomes.
 
     Every process returns the identical (clusters, SketchSet); process 0
@@ -139,13 +141,17 @@ def clust_mst_multihost(input_file: str, output_file: str,
     log(f"-----the size of sketches (genomes) is: {n_total}")
     lo, hi = mh.shard_bounds(n_total, num_processes, process_id)
     if module == "greedy":
-        clusters = mh.multihost_greedy(ss.hashes[lo:hi], n_total, threshold,
-                                       p.kmer_size, bits=bits)
-        header_threshold = None
+        clusters, order = mh.multihost_greedy(
+            ss.hashes[lo:hi], n_total, threshold, p.kmer_size)
+        # greedy ids are in the sorted (size-desc) space, like the
+        # single-host workflow (compute_kssd_clusters reorders the set)
+        ss = ss.reorder(order)
+        header_threshold = None  # greedy main output has no header
     elif module == "leiden":
-        clusters = mh.multihost_leiden(ss.hashes[lo:hi], n_total, threshold,
-                                       p.kmer_size, bits=bits)
-        header_threshold = None
+        clusters = mh.multihost_leiden(
+            ss.hashes[lo:hi], n_total, threshold, p.kmer_size, bits=bits,
+            resolution=resolution, use_leiden=use_leiden, knn_k=knn_k)
+        header_threshold = threshold  # clust-leiden writes the header
     else:
         res = mh.multihost_mst(ss.hashes[lo:hi], n_total, threshold,
                                p.kmer_size, is_containment=is_containment,

@@ -275,6 +275,42 @@ def test_greedy_device_serial_mode_matches_serial():
         assert serial.clusters == dev.clusters, bs
 
 
+def test_greedy_device_serial_tie_exact():
+    """Exact-similarity ties resolve to the serial host's first-touch
+    (probe) order, NOT the smallest rep id — constructed tie corpus where
+    the two orders differ (VERDICT r2 item 6)."""
+    from rabbittclust_tpu.cluster.greedy import greedy_cluster
+    from rabbittclust_tpu.ops.greedy_device import greedy_cluster_device
+    rng = np.random.default_rng(3)
+    hashes = []
+    # blocks of EXACT duplicate sketches: every member ties (sim=1) with
+    # every rep of its block-family; plus shuffled-prefix variants whose
+    # first-shared-hash positions differ, exercising the touch-order key
+    for c in range(4):
+        base = np.sort(rng.choice(1 << 20, size=300,
+                                  replace=False).astype(np.uint32))
+        for g in range(5):
+            hashes.append(base.copy())
+        # same tail, different heads -> identical pairwise sim vs several
+        # reps with distinct first-shared positions
+        for g in range(3):
+            head = rng.choice(1 << 20, size=30, replace=False).astype(
+                np.uint32)
+            hashes.append(np.unique(np.r_[head, base[30:]]))
+    for bs in (1, 4, 64, 4096):
+        for cont in (False, True):
+            serial = greedy_cluster(hashes, 0.05, 21, is_containment=cont,
+                                    backend="python")
+            dev = greedy_cluster_device(hashes, 0.05, 21, batch_size=bs,
+                                        is_containment=cont)
+            assert serial.representatives == dev.representatives, (bs, cont)
+            assert serial.clusters == dev.clusters, (bs, cont)
+    # and the native backend agrees on the same tie corpus
+    nat = greedy_cluster(hashes, 0.05, 21, backend="native")
+    dev = greedy_cluster_device(hashes, 0.05, 21)
+    assert nat.clusters == dev.clusters
+
+
 def test_distributed_similarity_graph_matches_host(synthetic_genomes):
     """Mesh-built Leiden graph == host graph (same edges, same f64
     weights), and community_clusters(mesh=...) gives the same clusters."""
