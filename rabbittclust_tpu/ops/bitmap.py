@@ -166,10 +166,28 @@ def _jitted_filter():
 
 
 def _tile_mask(xd, cd, sd, r0, c0, rb, jmin_num, jmin_den, c_min, radio,
-               is_containment):
+               is_containment, bound="mst"):
     """Safe candidate mask for tile (rows r0:r0+rb x cols c0:c0+rb) of the
     resident packed-signature matrix (shared by the index- and mask-pull
-    batched programs)."""
+    batched programs).
+
+    ``bound`` selects the size-ratio prefilter semantics:
+      * "mst": the reference's integer ``max <= calr(t, k-1) * min`` prune
+        (src/MST.cpp:224,509 — intentionally tighter than the mathematical
+        implication of d <= t; a replicated reference quirk), ``radio``
+        traced int32;
+      * "greedy": the exact implication of the greedy accept rule — mash:
+        float ``max <= (2e^{tk}-1) * min + 1`` (+1 f32 slack; greedy.cpp
+        never prunes harder than its own bound), containment: NO ratio
+        (a small sketch may be contained in an arbitrarily large one);
+        ``radio`` traced float32.  Used by ops.greedy_device's sweep;
+      * "minhash": the MinHash-parity greedy bound (greedy.cpp:986-1360) —
+        ``sd`` is STACKED (2, n_pad): row 0 = actual kept-hash counts
+        (query side), row 1 = reference param sizes (rep side; the
+        asymmetry the reference has).  standard: common >=
+        jmin*(len_row+psize_col)/(1+jmin); containment: the caller passes
+        c_min := j_min so common >= jmin*min(len_row, psize_col).  No
+        ratio prune (``radio`` unused); padding excluded via min size > 0."""
     import jax
     import jax.numpy as jnp
 
@@ -179,8 +197,12 @@ def _tile_mask(xd, cd, sd, r0, c0, rb, jmin_num, jmin_den, c_min, radio,
         xd, (c0, jnp.int32(0)), (rb, xd.shape[1])))
     ci = jax.lax.dynamic_slice(cd, (r0,), (rb,))
     cj = jax.lax.dynamic_slice(cd, (c0,), (rb,))
-    si = jax.lax.dynamic_slice(sd, (r0,), (rb,))
-    sj = jax.lax.dynamic_slice(sd, (c0,), (rb,))
+    if bound == "minhash":
+        si = jax.lax.dynamic_slice(sd[0], (r0,), (rb,))
+        sj = jax.lax.dynamic_slice(sd[1], (c0,), (rb,))
+    else:
+        si = jax.lax.dynamic_slice(sd, (r0,), (rb,))
+        sj = jax.lax.dynamic_slice(sd, (c0,), (rb,))
     shared = jax.lax.dot_general(
         xi, xj, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(jnp.int32)
@@ -194,8 +216,18 @@ def _tile_mask(xd, cd, sd, r0, c0, rb, jmin_num, jmin_den, c_min, radio,
             jmin_num * (si_c + s_c) / jmin_den).astype(jnp.int32) - 1
     thresh = common_min - jnp.minimum(ci[:, None], cj[None, :])
     mni = jnp.minimum(si[:, None], sj[None, :])
-    mxi = jnp.maximum(si[:, None], sj[None, :])
-    ratio_ok = (mni > 0) & (mxi <= radio * mni)
+    if bound == "minhash":
+        ratio_ok = mni > 0
+    elif bound == "greedy":
+        if is_containment:
+            ratio_ok = mni > 0
+        else:
+            mn_f = jnp.minimum(si_c, s_c)
+            mx_f = jnp.maximum(si_c, s_c)
+            ratio_ok = (mni > 0) & (mx_f <= radio * mn_f + 1.0)
+    else:
+        mxi = jnp.maximum(si[:, None], sj[None, :])
+        ratio_ok = (mni > 0) & (mxi <= radio * mni)
     jidx = jax.lax.broadcasted_iota(jnp.int32, (rb, rb), 1) + c0
     iidx = jax.lax.broadcasted_iota(jnp.int32, (rb, rb), 0) + r0
     return (shared >= thresh) & ratio_ok & (jidx < iidx)
@@ -238,7 +270,7 @@ def compact_mask_two_level(mask, cap_tile: int, cap_chunks: int):
 
 
 def _batched_mask_fn(xd, cd, sd, r0s, c0s, valid, jmin_num, jmin_den,
-                     c_min, radio, is_containment, rb):
+                     c_min, radio, is_containment, rb, bound="mst"):
     """Batch filter WITHOUT device-side index compaction: each tile returns
     its candidate mask bit-PACKED (rb x rb//8 uint8) plus its count.
 
@@ -257,7 +289,7 @@ def _batched_mask_fn(xd, cd, sd, r0s, c0s, valid, jmin_num, jmin_den,
 
     def compute_tile(r0, c0):
         mask = _tile_mask(xd, cd, sd, r0, c0, rb, jmin_num, jmin_den,
-                          c_min, radio, is_containment)
+                          c_min, radio, is_containment, bound)
         count = jnp.sum(mask, dtype=jnp.int32)
         bits = mask.reshape(rb, rb // 8, 8).astype(jnp.int32)
         weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
@@ -281,12 +313,12 @@ def _batched_mask_fn(xd, cd, sd, r0s, c0s, valid, jmin_num, jmin_den,
 def _jitted_batched_mask():
     import jax
     return jax.jit(_batched_mask_fn,
-                   static_argnames=("is_containment", "rb"))
+                   static_argnames=("is_containment", "rb", "bound"))
 
 
 def _batched_filter_fn(xd, cd, sd, ts, r0s, c0s, valid, jmin_num, jmin_den,
                        c_min, radio, is_containment, cap_tile, cap_chunks,
-                       rb):
+                       rb, bound="mst"):
     """ONE device dispatch for a whole batch of (rb x rb) pair tiles,
     returning compacted candidate indices (the sparse-tile pull mode).
 
@@ -319,7 +351,7 @@ def _batched_filter_fn(xd, cd, sd, ts, r0s, c0s, valid, jmin_num, jmin_den,
 
     def compute_tile(t, r0, c0):
         mask = _tile_mask(xd, cd, sd, r0, c0, rb, jmin_num, jmin_den,
-                          c_min, radio, is_containment)
+                          c_min, radio, is_containment, bound)
         count, flat = compact_mask_two_level(mask, cap_tile, cap_chunks)
         return flat + t * jnp.int32(rb * rb), count
 
@@ -347,11 +379,11 @@ def _jitted_batched_filter():
     import jax
     return jax.jit(_batched_filter_fn,
                    static_argnames=("is_containment", "cap_tile",
-                                    "cap_chunks", "rb"))
+                                    "cap_chunks", "rb", "bound"))
 
 
 def _blocks_batched(hashes, threshold, kmer_size, is_containment, bits,
-                    row_block, batch_k):
+                    row_block, batch_k, bound="mst", col_sizes=None):
     """Batched-dispatch candidate generator (default device path).
 
     Per batch of up to batch_k tiles:
@@ -378,11 +410,25 @@ def _blocks_batched(hashes, threshold, kmer_size, is_containment, bits,
     sizes[:n] = [len(h) for h in hashes]
     j_min = min_jaccard_for_threshold(threshold, kmer_size)
     c_min = math.exp(-threshold * kmer_size)
-    radio = size_ratio_limit(threshold, kmer_size - 1)
+    if bound == "minhash":
+        # containment accept is common >= ceil(j_min * min(len, psize))
+        # (greedy.cpp:986-1360) — j_min rides the c_min scalar slot
+        c_min = j_min
+        radio_scalar = jnp.float32(0.0)  # unused in this bound
+    elif bound == "greedy":
+        radio_scalar = jnp.float32(2.0 * math.exp(threshold * kmer_size)
+                                   - 1.0)
+    else:
+        radio_scalar = jnp.int32(size_ratio_limit(threshold, kmer_size - 1))
 
     xd = jnp.asarray(xp)
     cd = jnp.asarray(coll)
-    sd = jnp.asarray(sizes)
+    if bound == "minhash":
+        cs = np.zeros(n_pad, dtype=np.int32)
+        cs[:n] = np.asarray(col_sizes, dtype=np.int64)[:n]
+        sd = jnp.asarray(np.stack([sizes, cs]))
+    else:
+        sd = jnp.asarray(sizes)
     mask_filt = _jitted_batched_mask()
     idx_filt = _jitted_batched_filter()
     pull_mode = os.environ.get("RTC_PULL_MODE", "auto")
@@ -395,7 +441,7 @@ def _blocks_batched(hashes, threshold, kmer_size, is_containment, bits,
             tiles.append((r0, c0))
     batches = [tiles[b:b + batch_k] for b in range(0, len(tiles), batch_k)]
     scalars = (jnp.float32(j_min), jnp.float32(1.0 + j_min),
-               jnp.float32(c_min), jnp.int32(radio))
+               jnp.float32(c_min), radio_scalar)
 
     def tile_arrays(batch):
         r0s = np.zeros(batch_k, dtype=np.int32)
@@ -409,7 +455,7 @@ def _blocks_batched(hashes, threshold, kmer_size, is_containment, bits,
         r0s, c0s, val = tile_arrays(batch)
         counts_dev, packs_dev = mask_filt(
             xd, cd, sd, jnp.asarray(r0s), jnp.asarray(c0s),
-            jnp.asarray(val), *scalars, is_containment, rb)
+            jnp.asarray(val), *scalars, is_containment, rb, bound)
         try:
             counts_dev.copy_to_host_async()
         except Exception:
@@ -421,7 +467,7 @@ def _blocks_batched(hashes, threshold, kmer_size, is_containment, bits,
         return idx_filt(xd, cd, sd, jnp.arange(batch_k, dtype=jnp.int32),
                         jnp.asarray(r0s), jnp.asarray(c0s),
                         jnp.asarray(val), *scalars, is_containment, cap,
-                        cap_chunks, rb)
+                        cap_chunks, rb, bound)
 
     pending = dispatch_mask(batches[0]) if batches else None
     for b, batch in enumerate(batches):
@@ -500,6 +546,8 @@ def candidate_pair_blocks(
     is_containment: bool = False,
     bits: int = 8192,
     row_block: int = 1024,
+    bound: str = "mst",
+    col_sizes=None,
 ):
     """Streaming MXU candidate filter: yields (ii, jj) int64 arrays of
     unverified candidate pairs (i > j).
@@ -513,11 +561,17 @@ def candidate_pair_blocks(
     (JAX async dispatch) BEFORE the current batch's compacted result is
     pulled, so device filtering of batch b+1 overlaps the caller's host
     work on batch b (exact verify / union-find).
+
+    ``bound`` ("mst" | "greedy" | "minhash") selects the prefilter
+    semantics (see _tile_mask); non-"mst" bounds always use the batched
+    path.  "minhash" requires ``col_sizes`` (per-genome reference param
+    sizes for the rep/column side of every pair).
     """
     batch_k = int(os.environ.get("RTC_BATCH_TILES", "16"))
-    if batch_k >= 2:
+    if batch_k >= 2 or bound != "mst":
         yield from _blocks_batched(hashes, threshold, kmer_size,
-                                   is_containment, bits, row_block, batch_k)
+                                   is_containment, bits, row_block,
+                                   max(batch_k, 2), bound, col_sizes)
         return
     yield from _blocks_pertile(hashes, threshold, kmer_size, is_containment,
                                bits, row_block)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import List
 
 import numpy as np
@@ -30,7 +31,8 @@ import numpy as np
 from ..cluster.greedy import GreedyResult
 from ..distance.mash import aaf_distance, mash_distance, \
     min_jaccard_for_threshold
-from .bitmap import CsrSketches, _unpack_bits_device, pack_bitmaps_packed
+from .bitmap import CsrSketches, _unpack_bits_device, \
+    candidate_pair_blocks, pack_bitmaps_packed
 
 
 def _first_shared_pos(inv: List[np.ndarray], j: int, r: int) -> int:
@@ -40,6 +42,237 @@ def _first_shared_pos(inv: List[np.ndarray], j: int, r: int) -> int:
     smallest common hash)."""
     common = np.intersect1d(inv[j], inv[r], assume_unique=True)
     return int(np.searchsorted(inv[j], common[0]))
+
+
+def _greedy_serial_sweep(inv: List[np.ndarray], sizes: np.ndarray,
+                         threshold: float, kmer_size: int,
+                         is_containment: bool, bits: int,
+                         row_block: int = 4096):
+    """Serial greedy replay over ONE triangular all-pairs device sweep.
+
+    Reps are always earlier genomes in processing order, so the triangular
+    candidate set {(j, i): i < j passing the greedy bound} is a SUPERSET of
+    every (genome, rep) pair the serial loop can ever score — one
+    scan-batched sweep (ops.bitmap.candidate_pair_blocks, bound="greedy")
+    replaces the per-batch blocking dispatches of the old device path
+    (2 round trips x ceil(n/2048) batches ~ 1.2 s each on the tunnel; the
+    sweep is ceil(tiles/RTC_BATCH_TILES) pipelined dispatches total).
+    Exact common counts are computed LAZILY on the host, per genome,
+    restricted to candidates that are reps at that genome's turn —
+    decisions replicate cluster.greedy.greedy_cluster bit-for-bit
+    (reference greedy.cpp:566-899) including exact-similarity ties
+    (first-touched rep = minimal (first-shared-hash position, creation
+    rank)).  Returns (rep_order, members)."""
+    j_min = min_jaccard_for_threshold(threshold, kmer_size)
+    c_min = math.exp(-threshold * kmer_size)
+    csr = CsrSketches(inv)
+    n = len(inv)
+
+    parts_i, parts_j = [], []
+    for ii, jj in candidate_pair_blocks(
+            inv, threshold, kmer_size, is_containment=is_containment,
+            bits=bits, row_block=row_block, bound="greedy"):
+        parts_i.append(ii.astype(np.int32))  # 8 B/pair buffered
+        parts_j.append(jj.astype(np.int32))
+    ii = (np.concatenate(parts_i) if parts_i
+          else np.empty(0, dtype=np.int32))
+    jj = (np.concatenate(parts_j) if parts_j
+          else np.empty(0, dtype=np.int32))
+    o = np.argsort(ii, kind="stable")
+    jj_s = jj[o]
+    starts = np.searchsorted(ii[o], np.arange(n + 1, dtype=np.int64))
+
+    sizes_f = sizes.astype(np.float64)
+    rep_order: List[int] = [0]
+    members = {0: []}
+    rep_rank = {0: 0}
+    is_rep = np.zeros(n, dtype=bool)
+    is_rep[0] = True
+    for j in range(1, n):
+        cand = jj_s[starts[j]:starts[j + 1]]
+        cand = cand[is_rep[cand]]
+        best_rep = -1
+        if cand.size:
+            common = csr.count_common(
+                np.full(cand.size, j, dtype=np.int64),
+                cand).astype(np.int64)
+            # exact f64 accept bound + similarity, replicating the serial
+            # host engine bit-for-bit (greedy_cluster / reference
+            # greedy.cpp:770-816): the integer common-count bound IS the
+            # decision; comparisons use the f64 similarity
+            sj = sizes_f[j]
+            sr = sizes_f[cand]
+            if is_containment:
+                den = np.minimum(sj, sr)
+                ok = common >= np.ceil(c_min * den)
+            else:
+                ok = common >= np.ceil(j_min * (sj + sr) / (1.0 + j_min))
+                den = sj + sr - common
+            if ok.any():
+                c_ok = cand[ok]
+                den_ok = den[ok]
+                zero = den_ok == 0
+                sim = np.where(zero, 1.0,
+                               common[ok] / np.where(zero, 1.0, den_ok))
+                best = sim.max()
+                tied = c_ok[sim == best]
+                if tied.size > 1:
+                    # exact-similarity tie: the serial host's winner is the
+                    # FIRST-TOUCHED rep during the index probe
+                    best_rep = min(
+                        (int(r) for r in tied),
+                        key=lambda r: (_first_shared_pos(inv, j, r),
+                                       rep_rank[r]))
+                else:
+                    best_rep = int(tied[0])
+        if best_rep != -1:
+            members[best_rep].append(j)
+        else:
+            rep_rank[j] = len(rep_order)
+            rep_order.append(j)
+            members[j] = []
+            is_rep[j] = True
+    return rep_order, members
+
+
+def minhash_greedy_device(
+    hashes: List[np.ndarray],
+    param_sizes,
+    threshold: float,
+    kmer_size: int,
+    is_containment: bool = False,
+    bits: int = 8192,
+    row_block: int = 4096,
+) -> GreedyResult:
+    """Device-swept MinHash-parity greedy — BIT-EXACT vs
+    cluster.greedy.minhash_greedy_parity (the reference's default
+    clust-greedy MinHash engine, MinHashGreedyClusterWithInvertedIndex,
+    src/greedy.cpp:986-1360) including first-touch tie order.
+
+    One triangular all-pairs sweep (bound="minhash": query side = actual
+    kept-hash count, rep side = the reference's per-genome param size —
+    the asymmetry greedy.cpp has) yields a candidate superset of every
+    (genome, rep) probe; the serial loop is replayed on the host with
+    exact common counts and the reference's metric:
+      * fast path (first min(100, n) genomes standard-mode with identical
+        param size): fixed bound, winner = max common, no distance;
+      * slow path: per-pair bound, MASH-transform distance of containment
+        or jaccard (libm log via math.log — NumPy's SIMD log is 1 ulp
+        off), winner = min distance;
+    strict comparisons in first-touch order = minimal
+    (first-shared-hash position, rep creation rank).
+
+    threshold >= 1.0 falls back to the host engine: the reference clamps
+    distances to 1.0, so EVERY probed pair becomes acceptable and no
+    common-count bound can express the accept set."""
+    from ..cluster.greedy import minhash_greedy_parity
+
+    n = len(hashes)
+    if n == 0:
+        return GreedyResult([], [], np.empty(0, dtype=np.int64))
+    if threshold >= 1.0:
+        return minhash_greedy_parity(hashes, list(param_sizes), threshold,
+                                     kmer_size, is_containment)
+
+    x = math.exp(-threshold * kmer_size)
+    j_min = x / (2.0 - x)
+    psizes = np.asarray(param_sizes, dtype=np.int64)
+    sample = min(100, n)
+    fast = (not is_containment) and all(
+        int(psizes[i]) == int(psizes[0]) for i in range(1, sample))
+    fixed_common_min = (int(math.ceil(j_min * (2 * int(psizes[0]))
+                                      / (1.0 + j_min))) if fast else 0)
+
+    csr = CsrSketches(hashes)
+    parts_i, parts_j = [], []
+    for ii, jj in candidate_pair_blocks(
+            hashes, threshold, kmer_size, is_containment=is_containment,
+            bits=bits, row_block=row_block, bound="minhash",
+            col_sizes=psizes):
+        parts_i.append(ii.astype(np.int32))  # 8 B/pair buffered
+        parts_j.append(jj.astype(np.int32))
+    ii = (np.concatenate(parts_i) if parts_i
+          else np.empty(0, dtype=np.int32))
+    jj = (np.concatenate(parts_j) if parts_j
+          else np.empty(0, dtype=np.int32))
+    o = np.argsort(ii, kind="stable")
+    jj_s = jj[o]
+    starts = np.searchsorted(ii[o], np.arange(n + 1, dtype=np.int64))
+
+    rep_order: List[int] = [0]
+    members = {0: []}
+    rep_rank = {0: 0}
+    is_rep = np.zeros(n, dtype=bool)
+    is_rep[0] = True
+    for j in range(1, n):
+        cand = jj_s[starts[j]:starts[j + 1]]
+        cand = cand[is_rep[cand]]
+        best_rep = -1
+        if cand.size:
+            common = csr.count_common(
+                np.full(cand.size, j, dtype=np.int64),
+                cand).astype(np.int64)
+            size_ref = len(hashes[j])  # the reference's size_ref = QUERY
+            best_key = None
+            for r, cm in zip(cand.tolist(), common.tolist()):
+                if cm <= 0:
+                    continue  # the index probe never touches disjoint reps
+                size_qry = int(psizes[r])
+                if fast:
+                    if cm < fixed_common_min:
+                        continue
+                    metric = -cm
+                else:
+                    if is_containment:
+                        if cm < math.ceil(j_min * min(size_ref, size_qry)):
+                            continue
+                        mn = min(size_ref, size_qry)
+                        jac = 0.0 if mn == 0 else cm / mn
+                        if mn == 0:
+                            dist = 1.0
+                        elif jac >= 1.0:
+                            dist = 0.0
+                        elif jac <= 0.0:
+                            dist = 1.0
+                        else:
+                            dist = min(1.0,
+                                       -math.log(2.0 * jac / (1.0 + jac))
+                                       / kmer_size)
+                    else:
+                        if cm < math.ceil(j_min * (size_ref + size_qry)
+                                          / (1.0 + j_min)):
+                            continue
+                        denom = size_ref + size_qry - cm
+                        if denom == 0:
+                            dist = 0.0
+                        else:
+                            jac = cm / denom
+                            if jac >= 1.0:
+                                dist = 0.0
+                            elif jac <= 0.0:
+                                dist = 1.0
+                            else:
+                                dist = min(1.0,
+                                           -math.log(2.0 * jac / (1.0 + jac))
+                                           / kmer_size)
+                    if dist > threshold:
+                        continue
+                    metric = dist
+                key = (metric, _first_shared_pos(hashes, j, r), rep_rank[r])
+                if best_key is None or key < best_key:
+                    best_key, best_rep = key, r
+        if best_rep != -1:
+            members[best_rep].append(j)
+        else:
+            rep_rank[j] = len(rep_order)
+            rep_order.append(j)
+            members[j] = []
+            is_rep[j] = True
+
+    order = np.arange(n, dtype=np.int64)
+    clusters = [[r] + members[r] for r in rep_order]
+    return GreedyResult(clusters=clusters, representatives=list(rep_order),
+                        order=order)
 
 
 def _greedy_filter_fn(x_all, batch_idx, rep_idx, coll, sizes, jmin_num,
@@ -117,13 +350,15 @@ def greedy_cluster_device(
     """Greedy clustering with device candidate generation.
 
     ``conflict`` selects the in-batch semantics:
-      * "serial" (default): an extra triangular in-batch matmul supplies
-        candidates among batch members, and the exact serial greedy loop is
-        replayed on the host over the precomputed candidate counts —
-        BIT-EXACT vs the reference's default serial algorithm
-        (greedy.cpp:566-899) including exact-similarity ties, which resolve
-        to the first-touched rep of the index probe (minimal
-        (first-shared-hash position, rep creation rank));
+      * "serial" (default): BIT-EXACT vs the reference's default serial
+        algorithm (greedy.cpp:566-899) including exact-similarity ties,
+        which resolve to the first-touched rep of the index probe (minimal
+        (first-shared-hash position, rep creation rank)).  Candidates come
+        from ONE pipelined triangular all-pairs sweep (_greedy_serial_sweep;
+        reps are always earlier genomes, so the sweep is a superset of
+        every (genome, rep) probe) with lazy host verify; set
+        RTC_GREEDY_DEVICE=batchloop for the legacy 2-dispatches-per-batch
+        loop (A/B);
       * "batched": bit-exact match of
         cluster.greedy.greedy_cluster_batched at the same batch_size
         (reference's experimental batched variant semantics — batch members
@@ -142,6 +377,17 @@ def greedy_cluster_device(
         sizes0 = np.array([len(h) for h in hashes], dtype=np.int64)
         order = np.lexsort((np.arange(n), -sizes0))
         inv = [hashes[i] for i in order]
+
+    if conflict == "serial" and \
+            os.environ.get("RTC_GREEDY_DEVICE", "sweep") == "sweep":
+        sizes = np.array([len(h) for h in inv], dtype=np.int64)
+        rep_order, members = _greedy_serial_sweep(
+            inv, sizes, threshold, kmer_size, is_containment, bits)
+        clusters = [[int(order[r])] + [int(order[m]) for m in members[r]]
+                    for r in rep_order]
+        reps_orig = [int(order[r]) for r in rep_order]
+        return GreedyResult(clusters=clusters, representatives=reps_orig,
+                            order=order)
 
     xp, coll = pack_bitmaps_packed(inv, bits=bits, pad_n_to=128)
     n_pad = xp.shape[0]

@@ -575,10 +575,13 @@ def compute_minhash_clusters(ss: SketchSet, p: MinHashParams,
             order = np.arange(len(ss), dtype=np.int64)
         ss2 = ss.reorder(order)
         if opts.use_device:
-            from .ops.greedy_device import greedy_cluster_device
-            gres = greedy_cluster_device(ss2.hashes, threshold, p.kmer_size,
-                                         presorted=True,
-                                         is_containment=p.is_containment)
+            # device sweep with the reference's MinHash-parity semantics
+            # (param-size asymmetry, first-touch ties) — bit-exact vs the
+            # host engine below
+            from .ops.greedy_device import minhash_greedy_device
+            gres = minhash_greedy_device(ss2.hashes, ss2.param_sizes,
+                                         threshold, p.kmer_size,
+                                         p.is_containment)
         else:
             from .cluster.greedy import minhash_greedy_parity
             gres = minhash_greedy_parity(ss2.hashes, ss2.param_sizes,

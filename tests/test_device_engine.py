@@ -311,6 +311,56 @@ def test_greedy_device_serial_tie_exact():
     assert nat.clusters == dev.clusters
 
 
+def test_minhash_greedy_device_matches_parity():
+    """Device-swept MinHash greedy == the reference-parity host engine
+    bit-exactly: fast path (identical param sizes, winner = max common),
+    slow path (mixed param sizes -> the reference's rep-side param-size
+    asymmetry), containment, and exact-duplicate tie corpora (first-touch
+    order)."""
+    from rabbittclust_tpu.cluster.greedy import minhash_greedy_parity
+    from rabbittclust_tpu.ops.greedy_device import minhash_greedy_device
+    rng = np.random.default_rng(17)
+    hashes = []
+    for c in range(4):
+        base = np.unique(rng.integers(0, 1 << 48, size=500,
+                                      dtype=np.uint64))
+        for g in range(4):
+            keep = base[rng.random(len(base)) > 0.05 * g]
+            hashes.append(np.unique(keep))
+        # exact duplicates: every later copy ties (max common / min dist)
+        # against several reps -> exercises first-touch resolution
+        hashes.append(base.copy())
+        hashes.append(base.copy())
+    for psz in ([500] * len(hashes),                      # fast path
+                [400 + 37 * (i % 5) for i in range(len(hashes))]):  # slow
+        for cont in (False, True):
+            host = minhash_greedy_parity(hashes, psz, 0.05, 21, cont)
+            dev = minhash_greedy_device(hashes, psz, 0.05, 21, cont)
+            assert host.representatives == dev.representatives, \
+                (psz[0], cont)
+            assert host.clusters == dev.clusters, (psz[0], cont)
+
+
+def test_greedy_device_batchloop_ab(monkeypatch):
+    """Legacy per-batch dispatch path (RTC_GREEDY_DEVICE=batchloop) stays
+    bit-equal to the default single-sweep serial path."""
+    from rabbittclust_tpu.ops.greedy_device import greedy_cluster_device
+    rng = np.random.default_rng(11)
+    hashes = []
+    for c in range(4):
+        base = rng.choice(1 << 21, size=400, replace=False).astype(np.uint32)
+        for g in range(4):
+            keep = rng.random(len(base)) > 0.04
+            hashes.append(np.unique(base[keep]))
+    for cont in (False, True):
+        sweep = greedy_cluster_device(hashes, 0.05, 21, is_containment=cont)
+        monkeypatch.setenv("RTC_GREEDY_DEVICE", "batchloop")
+        legacy = greedy_cluster_device(hashes, 0.05, 21, is_containment=cont)
+        monkeypatch.delenv("RTC_GREEDY_DEVICE")
+        assert sweep.representatives == legacy.representatives, cont
+        assert sweep.clusters == legacy.clusters, cont
+
+
 def test_distributed_similarity_graph_matches_host(synthetic_genomes):
     """Mesh-built Leiden graph == host graph (same edges, same f64
     weights), and community_clusters(mesh=...) gives the same clusters."""
