@@ -350,6 +350,8 @@ def device_kmer_hashes(seq: bytes, p: KssdParams,
 def _device_table(half_subk: int):
     import jax.numpy as jnp
 
+    from ..utils.jaxcfg import configure_jax
+    configure_jax()  # honor RTC_PLATFORM + compilation cache
     return jnp.asarray(get_shuffle_table(half_subk))
 
 

@@ -295,8 +295,18 @@ def clust_from_genome_fast(input_file: str, output_file: str,
     with timer.phase("computing sketch (with index)"):
         if sketch_by_file:
             files = read_file_list(input_file)
-            ss, p = sketch_files_kssd(files, min_len, kmer_size, drlevel,
-                                      threads)
+            if opts.use_device and \
+                    os.environ.get("RTC_DEVICE_SKETCH", "0") == "1":
+                # opt-in device sketch phase (bit-identical to native;
+                # the native C++ sketcher stays the default because the
+                # tunnel's per-dispatch latency keeps it ahead here —
+                # see CLAUDE.md measurements)
+                from .ops.sketch_device import sketch_files_kssd_device
+                ss, p = sketch_files_kssd_device(files, min_len, kmer_size,
+                                                 drlevel)
+            else:
+                ss, p = sketch_files_kssd(files, min_len, kmer_size,
+                                          drlevel, threads)
         else:
             ss, p = sketch_sequences_kssd(input_file, min_len, kmer_size,
                                           drlevel, threads)
