@@ -383,7 +383,8 @@ def _jitted_batched_filter():
 
 
 def _blocks_batched(hashes, threshold, kmer_size, is_containment, bits,
-                    row_block, batch_k, bound="mst", col_sizes=None):
+                    row_block, batch_k, bound="mst", col_sizes=None,
+                    markers=False):
     """Batched-dispatch candidate generator (default device path).
 
     Per batch of up to batch_k tiles:
@@ -440,6 +441,11 @@ def _blocks_batched(hashes, threshold, kmer_size, is_containment, bits,
         for c0 in range(0, r0 + rb, rb):
             tiles.append((r0, c0))
     batches = [tiles[b:b + batch_k] for b in range(0, len(tiles), batch_k)]
+
+    def batch_markers(batch):
+        # a row panel's pairs are complete once its DIAGONAL tile
+        # (c0 == r0) has been yielded — tiles sweep (r0 asc, c0 asc)
+        return [("panel", min(r0 + rb, n)) for r0, c0 in batch if c0 == r0]
     scalars = (jnp.float32(j_min), jnp.float32(1.0 + j_min),
                jnp.float32(c_min), radio_scalar)
 
@@ -478,6 +484,8 @@ def _blocks_batched(hashes, threshold, kmer_size, is_containment, bits,
         if not total:
             if b + 1 < len(batches):
                 pending = dispatch_mask(batches[b + 1])
+            if markers:
+                yield from batch_markers(batch)
             continue
         # per-TILE pull policy: packed mask costs rb^2/8 bytes and zero
         # device compaction; index compaction costs 4*count bytes (< 2x
@@ -537,6 +545,8 @@ def _blocks_batched(hashes, threshold, kmer_size, is_containment, bits,
             jj = sub_c0[t_loc] + local % rb
             keep = ii < n
             yield ii[keep], jj[keep]
+        if markers:
+            yield from batch_markers(batch)
 
 
 def candidate_pair_blocks(
@@ -548,6 +558,7 @@ def candidate_pair_blocks(
     row_block: int = 1024,
     bound: str = "mst",
     col_sizes=None,
+    markers: bool = False,
 ):
     """Streaming MXU candidate filter: yields (ii, jj) int64 arrays of
     unverified candidate pairs (i > j).
@@ -565,13 +576,17 @@ def candidate_pair_blocks(
     ``bound`` ("mst" | "greedy" | "minhash") selects the prefilter
     semantics (see _tile_mask); non-"mst" bounds always use the batched
     path.  "minhash" requires ``col_sizes`` (per-genome reference param
-    sizes for the rep/column side of every pair).
+    sizes for the rep/column side of every pair).  ``markers=True``
+    additionally yields ("panel", row_end) tuples once every pair with
+    ii < row_end has been yielded (streaming consumers free buffers and
+    replay rows incrementally; forces the batched path).
     """
     batch_k = int(os.environ.get("RTC_BATCH_TILES", "16"))
-    if batch_k >= 2 or bound != "mst":
+    if batch_k >= 2 or bound != "mst" or markers:
         yield from _blocks_batched(hashes, threshold, kmer_size,
                                    is_containment, bits, row_block,
-                                   max(batch_k, 2), bound, col_sizes)
+                                   max(batch_k, 2), bound, col_sizes,
+                                   markers)
         return
     yield from _blocks_pertile(hashes, threshold, kmer_size, is_containment,
                                bits, row_block)

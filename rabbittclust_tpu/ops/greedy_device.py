@@ -44,6 +44,42 @@ def _first_shared_pos(inv: List[np.ndarray], j: int, r: int) -> int:
     return int(np.searchsorted(inv[j], common[0]))
 
 
+def _sweep_rows(hashes: List[np.ndarray], threshold: float, kmer_size: int,
+                is_containment: bool, bits: int, row_block: int,
+                bound: str, col_sizes=None):
+    """Stream (j, candidate row indices int32) for j = 1..n-1 IN ORDER from
+    one triangular device sweep, buffering at most one row PANEL of
+    candidate pairs (candidate_pair_blocks markers=True) — memory stays
+    O(row_block * N * density) instead of O(N^2 * density) pairs."""
+    n = len(hashes)
+    buf = {}
+    next_row = 1  # row 0 never has candidates (pairs have i > j)
+    empty = np.empty(0, dtype=np.int32)
+    for item in candidate_pair_blocks(
+            hashes, threshold, kmer_size, is_containment=is_containment,
+            bits=bits, row_block=row_block, bound=bound,
+            col_sizes=col_sizes, markers=True):
+        if isinstance(item[0], str):  # ("panel", row_end)
+            row_end = min(item[1], n)
+            for j in range(next_row, row_end):
+                parts = buf.pop(j, None)
+                yield j, (np.concatenate(parts) if parts else empty)
+            next_row = max(next_row, row_end)
+            continue
+        ii, jj = item
+        ii = ii.astype(np.int32)
+        jj = jj.astype(np.int32)
+        o = np.argsort(ii, kind="stable")
+        ii_s, jj_s = ii[o], jj[o]
+        cuts = np.flatnonzero(np.diff(ii_s)) + 1
+        bounds = np.r_[0, cuts, len(ii_s)]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            buf.setdefault(int(ii_s[a]), []).append(jj_s[a:b])
+    for j in range(next_row, n):  # guard: markers should have covered all
+        parts = buf.pop(j, None)
+        yield j, (np.concatenate(parts) if parts else empty)
+
+
 def _greedy_serial_sweep(inv: List[np.ndarray], sizes: np.ndarray,
                          threshold: float, kmer_size: int,
                          is_containment: bool, bits: int,
@@ -68,28 +104,14 @@ def _greedy_serial_sweep(inv: List[np.ndarray], sizes: np.ndarray,
     csr = CsrSketches(inv)
     n = len(inv)
 
-    parts_i, parts_j = [], []
-    for ii, jj in candidate_pair_blocks(
-            inv, threshold, kmer_size, is_containment=is_containment,
-            bits=bits, row_block=row_block, bound="greedy"):
-        parts_i.append(ii.astype(np.int32))  # 8 B/pair buffered
-        parts_j.append(jj.astype(np.int32))
-    ii = (np.concatenate(parts_i) if parts_i
-          else np.empty(0, dtype=np.int32))
-    jj = (np.concatenate(parts_j) if parts_j
-          else np.empty(0, dtype=np.int32))
-    o = np.argsort(ii, kind="stable")
-    jj_s = jj[o]
-    starts = np.searchsorted(ii[o], np.arange(n + 1, dtype=np.int64))
-
     sizes_f = sizes.astype(np.float64)
     rep_order: List[int] = [0]
     members = {0: []}
     rep_rank = {0: 0}
     is_rep = np.zeros(n, dtype=bool)
     is_rep[0] = True
-    for j in range(1, n):
-        cand = jj_s[starts[j]:starts[j + 1]]
+    for j, cand in _sweep_rows(inv, threshold, kmer_size, is_containment,
+                               bits, row_block, "greedy"):
         cand = cand[is_rep[cand]]
         best_rep = -1
         if cand.size:
@@ -184,28 +206,14 @@ def minhash_greedy_device(
                                       / (1.0 + j_min))) if fast else 0)
 
     csr = CsrSketches(hashes)
-    parts_i, parts_j = [], []
-    for ii, jj in candidate_pair_blocks(
-            hashes, threshold, kmer_size, is_containment=is_containment,
-            bits=bits, row_block=row_block, bound="minhash",
-            col_sizes=psizes):
-        parts_i.append(ii.astype(np.int32))  # 8 B/pair buffered
-        parts_j.append(jj.astype(np.int32))
-    ii = (np.concatenate(parts_i) if parts_i
-          else np.empty(0, dtype=np.int32))
-    jj = (np.concatenate(parts_j) if parts_j
-          else np.empty(0, dtype=np.int32))
-    o = np.argsort(ii, kind="stable")
-    jj_s = jj[o]
-    starts = np.searchsorted(ii[o], np.arange(n + 1, dtype=np.int64))
-
     rep_order: List[int] = [0]
     members = {0: []}
     rep_rank = {0: 0}
     is_rep = np.zeros(n, dtype=bool)
     is_rep[0] = True
-    for j in range(1, n):
-        cand = jj_s[starts[j]:starts[j + 1]]
+    for j, cand in _sweep_rows(hashes, threshold, kmer_size, is_containment,
+                               bits, row_block, "minhash",
+                               col_sizes=psizes):
         cand = cand[is_rep[cand]]
         best_rep = -1
         if cand.size:

@@ -311,6 +311,55 @@ def test_greedy_device_serial_tie_exact():
     assert nat.clusters == dev.clusters
 
 
+def test_sweep_rows_streams_every_row_once():
+    """_sweep_rows yields (j, candidates) for EVERY j = 1..n-1 in order
+    (panel markers), and the union of streamed candidates equals the
+    non-streamed candidate_pair_blocks pair set."""
+    from rabbittclust_tpu.ops.bitmap import candidate_pair_blocks
+    from rabbittclust_tpu.ops.greedy_device import _sweep_rows
+    rng = np.random.default_rng(23)
+    hashes = []
+    for c in range(6):
+        base = rng.choice(1 << 22, size=400, replace=False).astype(np.uint32)
+        for g in range(5):
+            keep = rng.random(len(base)) > 0.04
+            hashes.append(np.unique(base[keep]))
+    n = len(hashes)
+    seen_rows = []
+    streamed = set()
+    for j, cand in _sweep_rows(hashes, 0.05, 21, False, 8192, 1024,
+                               "greedy"):
+        seen_rows.append(j)
+        for i in cand.tolist():
+            assert i < j
+            streamed.add((j, i))
+    assert seen_rows == list(range(1, n))
+    direct = set()
+    for ii, jj in candidate_pair_blocks(hashes, 0.05, 21, bits=8192,
+                                        row_block=1024, bound="greedy"):
+        direct.update(zip(ii.tolist(), jj.tolist()))
+    assert streamed == direct
+
+
+def test_device_sketch_workflow_wiring(synthetic_genomes, tmp_path,
+                                       monkeypatch):
+    """RTC_DEVICE_SKETCH=1 + --device routes the sketch phase through the
+    device stream sketcher; .cluster output byte-equal to the native run."""
+    from rabbittclust_tpu.cli.clust_mst import main as clust_mst_main
+    lst = str(tmp_path / "list.txt")
+    with open(lst, "w") as f:
+        f.write("\n".join(synthetic_genomes.files[:8]) + "\n")
+    host_out = str(tmp_path / "host.cluster")
+    dev_out = str(tmp_path / "dev.cluster")
+    clust_mst_main(["--fast", "-l", "-i", lst, "-d", "0.05",
+                    "--no-save", "-o", host_out])
+    monkeypatch.setenv("RTC_DEVICE_SKETCH", "1")
+    clust_mst_main(["--fast", "-l", "-i", lst, "-d", "0.05", "--device",
+                    "--no-save", "-o", dev_out])
+    with open(host_out, "rb") as a, open(dev_out, "rb") as b:
+        assert a.read() == b.read()
+
+
 def test_minhash_greedy_device_matches_parity():
     """Device-swept MinHash greedy == the reference-parity host engine
     bit-exactly: fast path (identical param sizes, winner = max common),
