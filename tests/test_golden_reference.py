@@ -252,6 +252,35 @@ def test_minhash_greedy_byte_identical(oracle, genomes, tmp_path):
     assert same_bytes(str(ref_d / "r.cluster"), str(our_d / "o.cluster"))
 
 
+def test_greedy_device_byte_identical_vs_reference(oracle, genomes,
+                                                   tmp_path, monkeypatch):
+    """clust-greedy --device (single-sweep device candidate engines) is
+    byte-identical to the ACTUAL reference binary — both the KSSD --fast
+    serial engine and the MinHash parity engine (param-size asymmetry,
+    first-touch ties).  Direct reference golden, not transitively via the
+    host engine."""
+    from rabbittclust_tpu.cli.clust_greedy import main as greedy_main
+    ref_k = tmp_path / "ref_k"
+    ref_m = tmp_path / "ref_m"
+    ref_k.mkdir()
+    ref_m.mkdir()
+    run_ref(oracle, "greedy", ["--fast", "-l", "-i", genomes.list_file,
+                               "-o", "rk.cluster", "-d", "0.05"],
+            str(ref_k))
+    run_ref(oracle, "greedy", ["-l", "-i", genomes.list_file,
+                               "-o", "rm.cluster", "-d", "0.05", "-k", "21",
+                               "-s", "300"], str(ref_m))
+    monkeypatch.chdir(tmp_path)
+    ok = str(tmp_path / "ok.cluster")
+    om = str(tmp_path / "om.cluster")
+    greedy_main(["--fast", "-l", "-i", genomes.list_file, "-d", "0.05",
+                 "--device", "--no-save", "-o", ok])
+    greedy_main(["-l", "-i", genomes.list_file, "-d", "0.05", "-k", "21",
+                 "-s", "300", "--device", "--no-save", "-o", om])
+    assert same_bytes(str(ref_k / "rk.cluster"), ok)
+    assert same_bytes(str(ref_m / "rm.cluster"), om)
+
+
 @pytest.fixture(scope="module")
 def jitter_genomes(tmp_path_factory):
     """Varied per-genome lengths -> varied containment caps and a
