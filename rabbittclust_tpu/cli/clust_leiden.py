@@ -15,10 +15,6 @@ def main(argv=None) -> int:
     validate_common(args, "leiden")
     opts = make_output_options(args, "leiden")
 
-    if getattr(args, "multihost", None):
-        from .clust_mst import run_multihost
-        return run_multihost(args, False, "leiden")
-
     use_louvain = args.use_louvain
     knn_k = args.knn_k
     if use_louvain and knn_k == 0:
@@ -33,6 +29,14 @@ def main(argv=None) -> int:
         print(f"WARNING: --knn value too small ({knn_k}), recommend at "
               f"least 50. Using 50.", file=sys.stderr)
         knn_k = 50
+
+    if getattr(args, "multihost", None):
+        # AFTER the auto-kNN resolution: the multihost graph must prune
+        # with the same k the single-host run auto-selects, or the two
+        # commands return different partitions on dense corpora
+        args.knn_k = knn_k
+        from .clust_mst import run_multihost
+        return run_multihost(args, False, "leiden")
 
     if args.pregraph:
         import os

@@ -269,6 +269,19 @@ def compact_mask_two_level(mask, cap_tile: int, cap_chunks: int):
     return count, jnp.where(loc >= 0, flat, -1).astype(jnp.int32)
 
 
+def pack_mask_u8(mask):
+    """Bit-pack a boolean (r, c) mask to (r, c//8) uint8, little bit-order
+    (the inverse of np.unpackbits(bitorder="little"); decoded on the host
+    by _decode_packed_mask).  Pure vector ALU — shared by every engine
+    that pulls packed masks (this module and ops.engine)."""
+    import jax.numpy as jnp
+
+    r, c = mask.shape
+    bits = mask.reshape(r, c // 8, 8).astype(jnp.int32)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+    return jnp.sum(bits * weights, axis=2).astype(jnp.uint8)
+
+
 def _batched_mask_fn(xd, cd, sd, r0s, c0s, valid, jmin_num, jmin_den,
                      c_min, radio, is_containment, rb, bound="mst"):
     """Batch filter WITHOUT device-side index compaction: each tile returns
@@ -291,10 +304,7 @@ def _batched_mask_fn(xd, cd, sd, r0s, c0s, valid, jmin_num, jmin_den,
         mask = _tile_mask(xd, cd, sd, r0, c0, rb, jmin_num, jmin_den,
                           c_min, radio, is_containment, bound)
         count = jnp.sum(mask, dtype=jnp.int32)
-        bits = mask.reshape(rb, rb // 8, 8).astype(jnp.int32)
-        weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
-        packed = jnp.sum(bits * weights, axis=2).astype(jnp.uint8)
-        return count, packed
+        return count, pack_mask_u8(mask)
 
     def body(_, tile):
         r0, c0, ok = tile
@@ -384,7 +394,7 @@ def _jitted_batched_filter():
 
 def _blocks_batched(hashes, threshold, kmer_size, is_containment, bits,
                     row_block, batch_k, bound="mst", col_sizes=None,
-                    markers=False):
+                    markers=False, row_sizes=None):
     """Batched-dispatch candidate generator (default device path).
 
     Per batch of up to batch_k tiles:
@@ -408,7 +418,10 @@ def _blocks_batched(hashes, threshold, kmer_size, is_containment, bits,
     xp, coll = pack_bitmaps_packed(hashes, bits=bits, pad_n_to=rb)
     n_pad = xp.shape[0]
     sizes = np.zeros(n_pad, dtype=np.int32)
-    sizes[:n] = [len(h) for h in hashes]
+    if row_sizes is not None:  # caller-supplied row/query-side sizes
+        sizes[:n] = np.asarray(row_sizes, dtype=np.int64)[:n]
+    else:
+        sizes[:n] = [len(h) for h in hashes]
     j_min = min_jaccard_for_threshold(threshold, kmer_size)
     c_min = math.exp(-threshold * kmer_size)
     if bound == "minhash":
@@ -559,6 +572,7 @@ def candidate_pair_blocks(
     bound: str = "mst",
     col_sizes=None,
     markers: bool = False,
+    row_sizes=None,
 ):
     """Streaming MXU candidate filter: yields (ii, jj) int64 arrays of
     unverified candidate pairs (i > j).
@@ -586,7 +600,7 @@ def candidate_pair_blocks(
         yield from _blocks_batched(hashes, threshold, kmer_size,
                                    is_containment, bits, row_block,
                                    max(batch_k, 2), bound, col_sizes,
-                                   markers)
+                                   markers, row_sizes)
         return
     yield from _blocks_pertile(hashes, threshold, kmer_size, is_containment,
                                bits, row_block)

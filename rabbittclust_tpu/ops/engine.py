@@ -78,10 +78,8 @@ def _mst_batch_fn(p0, p1, sizes, r0s, c0s, valid, radio, start_index, n,
         m = (counts > 0) & ratio_ok & (jidx < iidx) & (iidx < n) \
             & (iidx >= start_index)
         cnt = jnp.sum(m, dtype=jnp.int32)
-        bits = m.reshape(rb, rb // 8, 8).astype(jnp.int32)
-        weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
-        packed = jnp.sum(bits * weights, axis=2).astype(jnp.uint8)
-        return cnt, packed
+        from .bitmap import pack_mask_u8
+        return cnt, pack_mask_u8(m)
 
     def body(_, xs):
         r0, c0, ok = xs
@@ -134,10 +132,9 @@ def _jitted_pair_common():
 
 
 def _quantum(count: int, floor: int = 1 << 13) -> int:
-    k = floor
-    while k < count:
-        k *= 2
-    return k
+    """Shared doubling ladder (one source of truth in ops.bitmap)."""
+    from .bitmap import _quantum as bm_quantum
+    return bm_quantum(count, floor)
 
 
 def compute_mst_device(

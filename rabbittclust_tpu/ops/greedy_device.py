@@ -46,7 +46,7 @@ def _first_shared_pos(inv: List[np.ndarray], j: int, r: int) -> int:
 
 def _sweep_rows(hashes: List[np.ndarray], threshold: float, kmer_size: int,
                 is_containment: bool, bits: int, row_block: int,
-                bound: str, col_sizes=None):
+                bound: str, col_sizes=None, row_sizes=None):
     """Stream (j, candidate row indices int32) for j = 1..n-1 IN ORDER from
     one triangular device sweep, buffering at most one row PANEL of
     candidate pairs (candidate_pair_blocks markers=True) — memory stays
@@ -58,7 +58,7 @@ def _sweep_rows(hashes: List[np.ndarray], threshold: float, kmer_size: int,
     for item in candidate_pair_blocks(
             hashes, threshold, kmer_size, is_containment=is_containment,
             bits=bits, row_block=row_block, bound=bound,
-            col_sizes=col_sizes, markers=True):
+            col_sizes=col_sizes, markers=True, row_sizes=row_sizes):
         if isinstance(item[0], str):  # ("panel", row_end)
             row_end = min(item[1], n)
             for j in range(next_row, row_end):
@@ -205,6 +205,19 @@ def minhash_greedy_device(
     fixed_common_min = (int(math.ceil(j_min * (2 * int(psizes[0]))
                                       / (1.0 + j_min))) if fast else 0)
 
+    if fast:
+        # the fast path accepts with ONE fixed bound ceil(jmin*2*S0/(1+jmin))
+        # for EVERY pair regardless of actual/param sizes (only the first
+        # min(100, n) genomes are sampled; later ones may differ) — feed
+        # the filter constant S0 sizes on BOTH axes so its per-pair bound
+        # floor(jmin*2*S0/(1+jmin))-1 can never exceed the fixed accept
+        # bound (with actual sizes, a later larger genome's bound could
+        # prune a pair the reference's fast path accepts)
+        const_s = np.full(n, int(psizes[0]), dtype=np.int64)
+        filt_cols = filt_rows = const_s
+    else:
+        filt_cols, filt_rows = psizes, None  # actual kept counts per row
+
     csr = CsrSketches(hashes)
     rep_order: List[int] = [0]
     members = {0: []}
@@ -213,7 +226,7 @@ def minhash_greedy_device(
     is_rep[0] = True
     for j, cand in _sweep_rows(hashes, threshold, kmer_size, is_containment,
                                bits, row_block, "minhash",
-                               col_sizes=psizes):
+                               col_sizes=filt_cols, row_sizes=filt_rows):
         cand = cand[is_rep[cand]]
         best_rep = -1
         if cand.size:
@@ -221,7 +234,8 @@ def minhash_greedy_device(
                 np.full(cand.size, j, dtype=np.int64),
                 cand).astype(np.int64)
             size_ref = len(hashes[j])  # the reference's size_ref = QUERY
-            best_key = None
+            best_metric = None
+            tied: List[int] = []
             for r, cm in zip(cand.tolist(), common.tolist()):
                 if cm <= 0:
                     continue  # the index probe never touches disjoint reps
@@ -266,9 +280,19 @@ def minhash_greedy_device(
                     if dist > threshold:
                         continue
                     metric = dist
-                key = (metric, _first_shared_pos(hashes, j, r), rep_rank[r])
-                if best_key is None or key < best_key:
-                    best_key, best_rep = key, r
+                # track metric-equal ties; the O(s) first-touch key is
+                # resolved lazily, only among exact ties (rare)
+                if best_metric is None or metric < best_metric:
+                    best_metric, tied = metric, [r]
+                elif metric == best_metric:
+                    tied.append(r)
+            if tied:
+                if len(tied) > 1:
+                    best_rep = min(
+                        tied, key=lambda r: (_first_shared_pos(hashes, j, r),
+                                             rep_rank[r]))
+                else:
+                    best_rep = tied[0]
         if best_rep != -1:
             members[best_rep].append(j)
         else:

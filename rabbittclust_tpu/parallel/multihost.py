@@ -436,17 +436,23 @@ def multihost_greedy(local_hashes: List[np.ndarray], n_total: int,
 
     def pair_sim(g: int, r: int) -> float:
         """Similarity of (g, r) under the greedy bound filter; -1 = no
-        candidate (same math as greedy_cluster's inner loop)."""
-        common = len(np.intersect1d(inv[g], inv[r], assume_unique=True))
+        candidate (same math as greedy_cluster's inner loop).  The sizes
+        alone bound |A∩B| <= min(|A|, |B|), so size-incompatible pairs
+        skip the O(s) set intersection entirely — the conflict scan over a
+        batch's new reps is dominated by these rejects."""
         sg, sr = int(sizes[g]), int(sizes[r])
+        mn = min(sg, sr)
         if is_containment:
-            mn = min(sg, sr)
-            if common < math.ceil(c_min * mn):
-                return -1.0
-            return 1.0 if mn == 0 else common / mn
-        common_min = math.ceil(j_min * (sg + sr) / (1.0 + j_min))
-        if common < common_min:
+            bound = math.ceil(c_min * mn)
+        else:
+            bound = math.ceil(j_min * (sg + sr) / (1.0 + j_min))
+        if mn < bound:
             return -1.0
+        common = len(np.intersect1d(inv[g], inv[r], assume_unique=True))
+        if common < bound:
+            return -1.0
+        if is_containment:
+            return 1.0 if mn == 0 else common / mn
         denom = sg + sr - common
         return 1.0 if denom == 0 else common / denom
 
@@ -615,6 +621,13 @@ def _sim_child(process_id: int, num_processes: int, port: int,
     g_host = greedy_cluster([hashes[i] for i in order], 0.05, 21,
                             presorted=True)
     assert g_mh == g_host.clusters, "multihost greedy != serial greedy"
+    # containment (AAF) greedy semantics must survive the multihost path
+    gc_mh, _ = multihost_greedy(hashes[lo:hi], n_genomes, 0.05, 21,
+                                is_containment=True, batch=13)
+    gc_host = greedy_cluster([hashes[i] for i in order], 0.05, 21,
+                             presorted=True, is_containment=True)
+    assert gc_mh == gc_host.clusters, \
+        "multihost containment greedy != serial containment greedy"
     digest = hashlib.sha256(repr(
         (canon, cl_mh, g_mh)).encode()).hexdigest()[:16]
     print(f"OK proc={process_id}/{num_processes} "

@@ -142,7 +142,8 @@ def clust_mst_multihost(input_file: str, output_file: str,
     lo, hi = mh.shard_bounds(n_total, num_processes, process_id)
     if module == "greedy":
         clusters, order = mh.multihost_greedy(
-            ss.hashes[lo:hi], n_total, threshold, p.kmer_size)
+            ss.hashes[lo:hi], n_total, threshold, p.kmer_size,
+            is_containment=is_containment)
         # greedy ids are in the sorted (size-desc) space, like the
         # single-host workflow (compute_kssd_clusters reorders the set)
         ss = ss.reorder(order)

@@ -388,6 +388,23 @@ def test_minhash_greedy_device_matches_parity():
             assert host.representatives == dev.representatives, \
                 (psz[0], cont)
             assert host.clusters == dev.clusters, (psz[0], cont)
+    # fast path with HETEROGENEOUS param sizes beyond the sampled first
+    # min(100, n) genomes: the reference applies the FIXED bound from
+    # psizes[0] to every pair, so the device filter must never prune with
+    # the (tighter) per-pair bound of a later, larger param size.  Clusters
+    # with ~35% dropout put pair commons between the two bounds.
+    rng2 = np.random.default_rng(31)
+    big = []
+    for c in range(13):
+        base = np.unique(rng2.integers(0, 1 << 48, size=280,
+                                       dtype=np.uint64))
+        for g in range(9):
+            big.append(np.unique(base[rng2.random(len(base)) > 0.35]))
+    psz3 = [300] * 100 + [900] * (len(big) - 100)
+    host = minhash_greedy_parity(big, psz3, 0.05, 21, False)
+    dev = minhash_greedy_device(big, psz3, 0.05, 21, False)
+    assert host.representatives == dev.representatives
+    assert host.clusters == dev.clusters
 
 
 def test_greedy_device_batchloop_ab(monkeypatch):
