@@ -14,6 +14,17 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     validate_common(args, "dbscan")
 
+    if getattr(args, "multihost", None):
+        if getattr(args, "minhash_dbscan", False):
+            # library path exists (multihost_dbscan(minhash=True)); the
+            # CLI keeps MinHash sketching single-host like the reference
+            print("ERROR: --multihost clust-dbscan requires --fast "
+                  "(KSSD); use parallel.multihost.multihost_dbscan("
+                  "minhash=True) from the API", file=sys.stderr)
+            return 1
+        from .clust_mst import run_multihost
+        return run_multihost(args, False, "dbscan")
+
     if not args.is_fast:
         if getattr(args, "minhash_dbscan", False):
             return _minhash_main(args)

@@ -136,12 +136,15 @@ def run_multihost(args, is_containment: bool, module: str) -> int:
     coord, n_proc, pid = parse_multihost_spec(args.multihost)
     import os
     vdev = os.environ.get("RTC_VIRTUAL_CPU_DEVICES")
+    # clust-dbscan spells its distance threshold --eps
+    threshold = args.eps if module == "dbscan" else args.threshold
     clust_mst_multihost(
         args.input, args.output, coord, n_proc, pid,
         sketch_by_file=args.sketch_by_file, is_containment=is_containment,
-        kmer_size=args.kmer_size, threshold=args.threshold,
+        kmer_size=args.kmer_size, threshold=threshold,
         drlevel=args.drlevel, min_len=args.min_len, threads=args.threads,
-        module=module,
+        module=module, min_pts=getattr(args, "minpts", 5),
+        max_posting=getattr(args, "max_posting", 0),
         resolution=getattr(args, "resolution", 1.0),
         use_leiden=not getattr(args, "use_louvain", False),
         knn_k=getattr(args, "knn_k", 0),

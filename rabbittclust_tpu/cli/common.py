@@ -86,7 +86,7 @@ def base_parser(module: str) -> argparse.ArgumentParser:
                         "(JAX/Pallas) instead of the host path; with more "
                         "than one visible device the mesh ring engine is "
                         "auto-selected for the MST phase")
-    if module in ("mst", "greedy", "leiden"):
+    if module in ("mst", "greedy", "leiden", "dbscan"):
         p.add_argument("--multihost", default=None,
                        metavar="COORD:PORT,NPROC,PID",
                        help="run distributed across jax.distributed "

@@ -19,7 +19,7 @@ import math
 import sys
 from collections import deque
 from dataclasses import dataclass
-from typing import List
+from typing import List, Tuple
 
 import numpy as np
 
@@ -41,6 +41,27 @@ class DBSCANResult:
         return len(self.noise)
 
 
+def trim_postings(hashes, max_posting: int) -> List[np.ndarray]:
+    """Drop hash keys whose GLOBAL posting size exceeds ``max_posting``
+    (the reference's posting-list truncation accelerator,
+    dbscan.cpp:81-365).  Deterministic given the full sketch store —
+    the multihost engine applies it identically on every host."""
+    n = len(hashes)
+    hv, gid = flatten_sketches(hashes)
+    order = np.argsort(hv, kind="stable")
+    hv_s, gid_s = hv[order], gid[order]
+    starts = np.flatnonzero(np.r_[True, hv_s[1:] != hv_s[:-1]])
+    lens = np.diff(np.r_[starts, len(hv_s)])
+    keep_run = lens <= max_posting
+    keep_pos = np.repeat(keep_run, lens)
+    kept_h = hv_s[keep_pos]
+    kept_g = gid_s[keep_pos]
+    ordg = np.argsort(kept_g, kind="stable")
+    kept_g2, kept_h2 = kept_g[ordg], kept_h[ordg]
+    bounds = np.searchsorted(kept_g2, np.arange(n + 1))
+    return [np.sort(kept_h2[bounds[i]:bounds[i + 1]]) for i in range(n)]
+
+
 def _neighbor_lists(hashes, eps: float, kmer_size: int, knn_k: int,
                     max_posting: int,
                     use_device: bool = False) -> List[np.ndarray]:
@@ -55,22 +76,9 @@ def _neighbor_lists(hashes, eps: float, kmer_size: int, knn_k: int,
     x = math.exp(-eps * kmer_size)
     t = x / (2.0 - x)  # jaccard_min
     if max_posting > 0:
-        # drop hash keys whose posting size exceeds max_posting
-        hv, gid = flatten_sketches(hashes)
-        order = np.argsort(hv, kind="stable")
-        hv_s, gid_s = hv[order], gid[order]
-        starts = np.flatnonzero(np.r_[True, hv_s[1:] != hv_s[:-1]])
-        lens = np.diff(np.r_[starts, len(hv_s)])
-        keep_run = lens <= max_posting
-        keep_pos = np.repeat(keep_run, lens)
-        kept_h = hv_s[keep_pos]
-        kept_g = gid_s[keep_pos]
-        trimmed: List[np.ndarray] = [None] * n
-        ordg = np.argsort(kept_g, kind="stable")
-        kept_g2, kept_h2 = kept_g[ordg], kept_h[ordg]
-        bounds = np.searchsorted(kept_g2, np.arange(n + 1))
-        hashes = [np.sort(kept_h2[bounds[i]:bounds[i + 1]])
-                  for i in range(n)]
+        # sizes above stay the ORIGINAL sketch sizes: truncation only
+        # drops candidate-generation keys, the jaccard test is unchanged
+        hashes = trim_postings(hashes, max_posting)
     adj: List[List[int]] = [[] for _ in range(n)]
     adj_j: List[List[float]] = [[] for _ in range(n)]
     if use_device and max_posting <= 0:
@@ -109,23 +117,25 @@ def _neighbor_lists(hashes, eps: float, kmer_size: int, knn_k: int,
     return [np.asarray(a, dtype=np.int64) for a in adj]
 
 
-def dbscan_cluster(hashes, eps: float, min_pts: int, kmer_size: int,
-                   knn_k: int = 0, max_posting: int = 0,
-                   use_device: bool = False) -> DBSCANResult:
-    n = len(hashes)
-    if knn_k > 0 and knn_k < min_pts - 1:
-        print(f"-----WARNING: knn_k ({knn_k}) < minPts-1 ({min_pts - 1}). "
-              f"Adjusting knn_k to {min_pts - 1}.", file=sys.stderr)
-        knn_k = min_pts - 1
-    adj = _neighbor_lists(hashes, eps, kmer_size, knn_k, max_posting,
-                          use_device=use_device)
+def expand_labels(adj, n: int, min_pts: int,
+                  include_self: bool) -> Tuple[np.ndarray, int]:
+    """Shared DBSCAN label expansion over a fixed adjacency.
+
+    ``include_self`` selects the KSSD convention (minPts counts the point
+    itself, dbscan.cpp:831-832) vs the MinHash one (self excluded,
+    dbscan.cpp:1017).  Given the adjacency SETS, the labels are
+    BFS-order-independent: cluster ids are seeded in index order, a border
+    point reachable from several clusters is always claimed by the
+    lowest-seed cluster, and noise relabeling (dbscan.cpp:870) is a set
+    property too — the multihost engine relies on this."""
+    extra = 1 if include_self else 0
     labels = np.full(n, -1, dtype=np.int64)  # -1 unvisited, -2 noise
     cluster_id = 0
     for i in range(n):
         if labels[i] != -1:
             continue
         neighbors = adj[i]
-        if len(neighbors) + 1 < min_pts:  # minPts includes the point itself
+        if len(neighbors) + extra < min_pts:
             labels[i] = -2
             continue
         labels[i] = cluster_id
@@ -140,12 +150,19 @@ def dbscan_cluster(hashes, eps: float, min_pts: int, kmer_size: int,
                 continue
             labels[q] = cluster_id
             q_nbrs = adj[q]
-            if len(q_nbrs) + 1 >= min_pts:  # q is core: expand
+            if len(q_nbrs) + extra >= min_pts:  # q is core: expand
                 for v in q_nbrs.tolist():
                     if labels[v] in (-1, -2) and v not in enqueued:
                         enqueued.add(v)
                         queue.append(v)
         cluster_id += 1
+    return labels, cluster_id
+
+
+def result_from_labels(labels: np.ndarray, n: int, cluster_id: int,
+                       drop_empty: bool = False) -> DBSCANResult:
+    """Members/noise in genome-id order (the final loops of both reference
+    engines); ``drop_empty`` replicates the MinHash engine's filter."""
     clusters: List[List[int]] = [[] for _ in range(cluster_id)]
     noise: List[int] = []
     for i in range(n):
@@ -153,7 +170,23 @@ def dbscan_cluster(hashes, eps: float, min_pts: int, kmer_size: int,
             noise.append(i)
         elif labels[i] >= 0:
             clusters[labels[i]].append(i)
+    if drop_empty:
+        clusters = [c for c in clusters if c]
     return DBSCANResult(clusters=clusters, noise=noise, labels=labels)
+
+
+def dbscan_cluster(hashes, eps: float, min_pts: int, kmer_size: int,
+                   knn_k: int = 0, max_posting: int = 0,
+                   use_device: bool = False) -> DBSCANResult:
+    n = len(hashes)
+    if knn_k > 0 and knn_k < min_pts - 1:
+        print(f"-----WARNING: knn_k ({knn_k}) < minPts-1 ({min_pts - 1}). "
+              f"Adjusting knn_k to {min_pts - 1}.", file=sys.stderr)
+        knn_k = min_pts - 1
+    adj = _neighbor_lists(hashes, eps, kmer_size, knn_k, max_posting,
+                          use_device=use_device)
+    labels, cluster_id = expand_labels(adj, n, min_pts, include_self=True)
+    return result_from_labels(labels, n, cluster_id)
 
 
 def _minhash_neighbor_lists(hashes, eps: float, kmer_size: int,
@@ -207,42 +240,8 @@ def minhash_dbscan_cluster(hashes, eps: float, min_pts: int, kmer_size: int,
     test is mash-distance <= eps with no 1e-12 tolerance."""
     n = len(hashes)
     adj = _minhash_neighbor_lists(hashes, eps, kmer_size, is_containment)
-    labels = np.full(n, -1, dtype=np.int64)  # -1 unvisited, -2 noise
-    cluster_id = 0
-    for i in range(n):
-        if labels[i] != -1:
-            continue
-        neighbors = adj[i]
-        if len(neighbors) < min_pts:  # self EXCLUDED (dbscan.cpp:1017)
-            labels[i] = -2
-            continue
-        labels[i] = cluster_id
-        queue = deque(neighbors.tolist())
-        enqueued = set(neighbors.tolist())
-        while queue:
-            q = queue.popleft()
-            if labels[q] == -2:
-                labels[q] = cluster_id  # border point reclaimed from noise
-                continue
-            if labels[q] != -1:
-                continue
-            labels[q] = cluster_id
-            q_nbrs = adj[q]
-            if len(q_nbrs) >= min_pts:  # q is core: expand
-                for v in q_nbrs.tolist():
-                    if labels[v] in (-1, -2) and v not in enqueued:
-                        enqueued.add(v)
-                        queue.append(v)
-        cluster_id += 1
-    clusters: List[List[int]] = [[] for _ in range(cluster_id)]
-    noise: List[int] = []
-    for i in range(n):
-        if labels[i] == -2:
-            noise.append(i)
-        elif labels[i] >= 0:
-            clusters[labels[i]].append(i)
-    clusters = [c for c in clusters if c]
-    return DBSCANResult(clusters=clusters, noise=noise, labels=labels)
+    labels, cluster_id = expand_labels(adj, n, min_pts, include_self=False)
+    return result_from_labels(labels, n, cluster_id, drop_empty=True)
 
 
 def write_dbscan_result(result: DBSCANResult, ss, output_file: str,

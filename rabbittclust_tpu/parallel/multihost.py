@@ -512,6 +512,129 @@ def multihost_greedy(local_hashes: List[np.ndarray], n_total: int,
     return clusters, order
 
 
+def multihost_dbscan(local_hashes: List[np.ndarray], n_total: int,
+                     eps: float, min_pts: int, kmer_size: int,
+                     knn_k: int = 0, max_posting: int = 0,
+                     minhash: bool = False, is_containment: bool = False,
+                     bits: int = 8192, cap: Optional[int] = None, mesh=None):
+    """Distributed clust-dbscan across hosts (KSSD or MinHash semantics).
+
+    Pipeline: global bitmap ring at threshold=eps (a no-false-negative
+    superset of the neighbor criterion — jaccard >= x/(2-x) with
+    x = e^{-eps*k} implies size ratio <= 2/x, covered by the widened
+    ``radio``) -> each process exact-verifies ITS candidates against the
+    allgathered sketch store -> edge allgather -> identical serial
+    expansion on every host (cluster.dbscan.expand_labels).
+
+    Exactness: labels equal the single-host engine's because expansion
+    outcomes depend only on the adjacency SETS (see expand_labels).  For
+    knn_k > 0 the per-node cap breaks exact-jaccard ties at the k-th
+    neighbor canonically (neighbor id ascending within equal jaccard);
+    the single-host engine's own tie order there is thread-nondeterministic
+    (rtc_pairs concatenates per-thread outputs), so ties at the cut are
+    outside both engines' determinism envelope.  Mirrors
+    dbscan_cluster / minhash_dbscan_cluster (reference dbscan.cpp:559-565,
+    831-870, 987-1097)."""
+    import math
+    import jax
+    from jax.experimental import multihost_utils
+    from ..cluster.dbscan import (expand_labels, result_from_labels,
+                                  trim_postings)
+    from ..ops.bitmap import CsrSketches
+
+    if minhash and (knn_k or max_posting):
+        raise ValueError("knn_k/max_posting are KSSD-engine accelerators; "
+                         "the MinHash DBSCAN engine has neither "
+                         "(dbscan.cpp:987-1097)")
+    if mesh is None:
+        mesh = global_mesh()
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    use64 = bool(np.asarray(multihost_utils.process_allgather(np.int64(
+        len(local_hashes) > 0 and local_hashes[0].dtype == np.uint64
+    ))).max())
+    all_hashes = allgather_sketches(local_hashes, use64)
+    # criterion sizes are the ORIGINAL sketch sizes even under truncation
+    sizes = np.array([len(h) for h in all_hashes], dtype=np.int64)
+    if knn_k > 0 and knn_k < min_pts - 1:
+        knn_k = min_pts - 1  # dbscan_cluster's adjustment, warning elided
+    if max_posting > 0:
+        all_hashes = trim_postings(all_hashes, max_posting)
+        lo, hi = shard_bounds(n_total, n_proc, pid)
+        local_hashes = all_hashes[lo:hi]
+    x = math.exp(-eps * kmer_size)
+    t = x / (2.0 - x)  # jaccard_min
+    if minhash and eps >= 1.0:
+        # dist caps at 1.0 <= eps: everything neighbors everything,
+        # including common == 0 pairs the ring never yields
+        full = np.arange(n_total, dtype=np.int64)
+        adj = [np.delete(full, i) for i in range(n_total)]
+        labels, k = expand_labels(adj, n_total, min_pts, include_self=False)
+        return result_from_labels(labels, n_total, k, drop_empty=True)
+    # containment jaccard is size-ratio-free (c/min ignores the max side);
+    # otherwise widen the ring ratio prefilter to the criterion's bound
+    radio = None if (minhash and is_containment) else max(
+        2, int(math.ceil(2.0 / x))) + 1
+    ii, jj = multihost_candidate_pairs_bitmap(
+        local_hashes, n_total, eps, kmer_size,
+        is_containment=minhash and is_containment, bits=bits, cap=cap,
+        radio=radio, mesh=mesh)
+    common = CsrSketches(all_hashes).count_common(ii, jj).astype(np.int64)
+    nz = common > 0  # both engines enumerate index pairs (common >= 1) only
+    ii, jj, common = ii[nz], jj[nz], common[nz]
+    s0 = sizes[ii].astype(np.float64)
+    s1 = sizes[jj].astype(np.float64)
+    cc = common.astype(np.float64)
+    if minhash:
+        if is_containment:
+            denom = np.minimum(sizes[ii], sizes[jj]).astype(np.float64)
+        else:
+            denom = s0 + s1 - cc
+        jac = np.where(denom > 0, cc / np.maximum(denom, 1.0), 0.0)
+        with np.errstate(divide="ignore"):
+            if is_containment:
+                dist = -np.log(jac) / kmer_size
+            else:
+                dist = -np.log(2.0 * jac / (1.0 + jac)) / kmer_size
+        dist = np.minimum(dist, 1.0)
+        dist = np.where(jac >= 1.0, 0.0, np.where(jac <= 0.0, 1.0, dist))
+        ok = dist <= eps
+    else:
+        ok = (cc * (1.0 + t) + 1e-12 >= t * (s0 + s1)) \
+            & (sizes[ii] > 0) & (sizes[jj] > 0)
+    denomj = s0 + s1 - cc
+    jacv = np.where(denomj > 0, cc / np.maximum(denomj, 1.0), 0.0)
+    a = np.minimum(ii[ok], jj[ok])
+    b = np.maximum(ii[ok], jj[ok])
+    jv = jacv[ok]
+    ga = np.concatenate(_allgather_ragged(a))
+    gb = np.concatenate(_allgather_ragged(b))
+    gj = np.concatenate(_allgather_ragged(jv))
+    # canonical lexsort + dedupe -> identical edge arrays on every host
+    order = np.lexsort((gb, ga))
+    ga, gb, gj = ga[order], gb[order], gj[order]
+    if len(ga):
+        keep = np.r_[True, (ga[1:] != ga[:-1]) | (gb[1:] != gb[:-1])]
+        ga, gb, gj = ga[keep], gb[keep], gj[keep]
+    # adjacency (both directions), neighbor-id ascending per node
+    src = np.concatenate([ga, gb])
+    dst = np.concatenate([gb, ga])
+    wts = np.concatenate([gj, gj])
+    order2 = np.lexsort((dst, src))
+    src, dst, wts = src[order2], dst[order2], wts[order2]
+    bounds = np.searchsorted(src, np.arange(n_total + 1))
+    adj = [dst[bounds[i]:bounds[i + 1]] for i in range(n_total)]
+    if knn_k > 0:
+        for i in range(n_total):
+            if len(adj[i]) > knn_k:
+                w = wts[bounds[i]:bounds[i + 1]]
+                idx = np.argsort(-w, kind="stable")[:knn_k]
+                adj[i] = adj[i][idx]
+    labels, k = expand_labels(adj, n_total, min_pts,
+                              include_self=not minhash)
+    return result_from_labels(labels, n_total, k, drop_empty=minhash)
+
+
 # ----------------------------------------------------------------------
 # CPU-simulation launcher + self-test child (used by tests and the driver
 # dry-run; mirrors how a real pod launch would run one process per host)
@@ -567,6 +690,25 @@ def _make_sim_sketches(n: int, seed: int = 3) -> List[np.ndarray]:
         keep = b[rng.random(len(b)) < 0.8]
         extra = np.unique(
             rng.integers(0, 2 ** 28, size=130 - len(keep)).astype(np.uint32))
+        out.append(np.unique(np.concatenate([keep, extra])))
+    return out
+
+
+def _make_sim_sketches_sized(n: int, seed: int = 3) -> List[np.ndarray]:
+    """Clustered synthetic sketches with per-genome size variation —
+    distinct jaccard values at every kNN cut (no ties), so the knn-capped
+    DBSCAN comparison below is deterministic on both engines."""
+    rng = np.random.default_rng(seed)
+    bases = [np.unique(rng.integers(0, 2 ** 28,
+                                    size=120 + 11 * b).astype(np.uint32))
+             for b in range(max(n // 8, 1))]
+    out = []
+    for i in range(n):
+        b = bases[i % len(bases)]
+        keep = b[rng.random(len(b)) < 0.8]
+        extra = np.unique(rng.integers(
+            0, 2 ** 28,
+            size=max(8, 140 + 7 * (i % 13) - len(keep))).astype(np.uint32))
         out.append(np.unique(np.concatenate([keep, extra])))
     return out
 
@@ -628,11 +770,47 @@ def _sim_child(process_id: int, num_processes: int, port: int,
                              presorted=True, is_containment=True)
     assert gc_mh == gc_host.clusters, \
         "multihost containment greedy != serial containment greedy"
+    # multihost dbscan == single-host engines (labels, clusters, noise)
+    from ..cluster.dbscan import dbscan_cluster, minhash_dbscan_cluster
+    db_mh = multihost_dbscan(hashes[lo:hi], n_genomes, 0.05, 3, 21,
+                             bits=2048)
+    db_host = dbscan_cluster(hashes, 0.05, 3, 21)
+    assert db_mh.labels.tolist() == db_host.labels.tolist(), \
+        "multihost dbscan labels != single-host labels"
+    assert db_mh.clusters == db_host.clusters
+    assert db_mh.noise == db_host.noise
+    dbp_mh = multihost_dbscan(hashes[lo:hi], n_genomes, 0.05, 3, 21,
+                              max_posting=32, bits=2048)
+    dbp_host = dbscan_cluster(hashes, 0.05, 3, 21, max_posting=32)
+    assert dbp_mh.labels.tolist() == dbp_host.labels.tolist(), \
+        "multihost dbscan (max_posting) != single-host"
+    # knn-capped comparison on the tie-free sized corpus (cap binds:
+    # degrees reach 7 > knn_k=4)
+    sized = _make_sim_sketches_sized(n_genomes)
+    dbk_mh = multihost_dbscan(sized[lo:hi], n_genomes, 0.05, 3, 21,
+                              knn_k=4, bits=2048)
+    dbk_host = dbscan_cluster(sized, 0.05, 3, 21, knn_k=4)
+    assert dbk_mh.labels.tolist() == dbk_host.labels.tolist(), \
+        "multihost dbscan (knn) != single-host"
+    # MinHash-semantics dbscan, plain + containment
+    dbm_mh = multihost_dbscan(hashes[lo:hi], n_genomes, 0.05, 3, 21,
+                              minhash=True, bits=2048)
+    dbm_host = minhash_dbscan_cluster(hashes, 0.05, 3, 21)
+    assert dbm_mh.labels.tolist() == dbm_host.labels.tolist(), \
+        "multihost minhash dbscan != single-host"
+    assert dbm_mh.clusters == dbm_host.clusters
+    dbc_mh = multihost_dbscan(hashes[lo:hi], n_genomes, 0.05, 3, 21,
+                              minhash=True, is_containment=True, bits=2048)
+    dbc_host = minhash_dbscan_cluster(hashes, 0.05, 3, 21,
+                                      is_containment=True)
+    assert dbc_mh.labels.tolist() == dbc_host.labels.tolist(), \
+        "multihost containment minhash dbscan != single-host"
     digest = hashlib.sha256(repr(
-        (canon, cl_mh, g_mh)).encode()).hexdigest()[:16]
+        (canon, cl_mh, g_mh, db_mh.labels.tolist())).encode()
+    ).hexdigest()[:16]
     print(f"OK proc={process_id}/{num_processes} "
           f"devices={len(jax.devices())} clusters={len(clusters)} "
-          f"leiden={len(cl_mh)} greedy={len(g_mh)} "
+          f"leiden={len(cl_mh)} greedy={len(g_mh)} dbscan={len(db_mh.clusters)} "
           f"digest={digest}", flush=True)
 
 

@@ -118,7 +118,8 @@ def clust_mst_multihost(input_file: str, output_file: str,
                         virtual_cpu_devices: Optional[int] = None,
                         bits: int = 8192, module: str = "mst",
                         resolution: float = 1.0, use_leiden: bool = True,
-                        knn_k: int = 0):
+                        knn_k: int = 0, min_pts: int = 5,
+                        max_posting: int = 0):
     """clust-mst/--multihost: distributed KSSD clustering from genomes.
 
     Every process returns the identical (clusters, SketchSet); process 0
@@ -148,6 +149,13 @@ def clust_mst_multihost(input_file: str, output_file: str,
         # single-host workflow (compute_kssd_clusters reorders the set)
         ss = ss.reorder(order)
         header_threshold = None  # greedy main output has no header
+    elif module == "dbscan":
+        # threshold plays the role of eps (clust-dbscan --eps)
+        dbscan_res = mh.multihost_dbscan(
+            ss.hashes[lo:hi], n_total, threshold, min_pts, p.kmer_size,
+            knn_k=knn_k, max_posting=max_posting, bits=bits)
+        clusters = dbscan_res.clusters
+        header_threshold = None
     elif module == "leiden":
         clusters = mh.multihost_leiden(
             ss.hashes[lo:hi], n_total, threshold, p.kmer_size, bits=bits,
@@ -162,7 +170,11 @@ def clust_mst_multihost(input_file: str, output_file: str,
         header_threshold = threshold
     import jax
     if jax.process_index() == 0:
-        if header_threshold is not None:
+        if module == "dbscan":
+            from .cluster.dbscan import write_dbscan_result
+            write_dbscan_result(dbscan_res, ss, output_file, threshold,
+                                min_pts)
+        elif header_threshold is not None:
             write_cluster_file(output_file, clusters, ss, header_threshold)
         else:
             write_cluster_file(output_file, clusters, ss)
@@ -189,7 +201,8 @@ def main(argv=None) -> int:  # pragma: no cover - exercised via subprocess
     ap.add_argument("-t", "--threads", type=int, default=0)
     ap.add_argument("--bits", type=int, default=8192)
     ap.add_argument("--module", default="mst",
-                    choices=["mst", "greedy", "leiden"])
+                    choices=["mst", "greedy", "leiden", "dbscan"])
+    ap.add_argument("--minpts", type=int, default=5)
     ap.add_argument("--virtual-cpu-devices", type=int, default=None)
     args = ap.parse_args(argv)
     coord, n_proc, pid = parse_multihost_spec(args.multihost)
@@ -198,7 +211,7 @@ def main(argv=None) -> int:  # pragma: no cover - exercised via subprocess
         sketch_by_file=args.sketch_by_file, kmer_size=args.kmer_size,
         threshold=args.threshold, drlevel=args.drlevel,
         min_len=args.min_len, threads=args.threads, bits=args.bits,
-        module=args.module,
+        module=args.module, min_pts=args.minpts,
         virtual_cpu_devices=args.virtual_cpu_devices)
     return 0
 

@@ -74,7 +74,7 @@ def main(argv=None) -> int:
         usage="%(prog)s --nproc N [options] -- <clust CLI args>")
     ap.add_argument("--nproc", type=int, required=True)
     ap.add_argument("--module", default="mst",
-                    choices=["mst", "greedy", "leiden"])
+                    choices=["mst", "greedy", "leiden", "dbscan"])
     ap.add_argument("--virtual-cpu-devices", type=int, default=None)
     ap.add_argument("--coordinator", default="",
                     help="coordinator address (default: 127.0.0.1:freeport)")

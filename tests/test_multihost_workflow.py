@@ -22,9 +22,10 @@ def _single_host_cluster(list_file, out, module="mst", extra=(),
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["RTC_PLATFORM"] = "cpu"
+    thr = (("--eps", "0.05") if module == "dbscan" else ("-d", "0.05"))
     r = subprocess.run(
         [sys.executable, "-m", f"rabbittclust_tpu.cli.clust_{module}",
-         "--fast", "-l", "-i", list_file, "-o", out, "-d", "0.05",
+         "--fast", "-l", "-i", list_file, "-o", out, *thr,
          "-m", "1000", "-e", "-t", threads, *extra],
         capture_output=True, text=True, env=env, cwd=REPO)
     assert r.returncode == 0, r.stderr[-3000:]
@@ -55,18 +56,20 @@ def jittered_genomes(tmp_path_factory):
 
 
 @pytest.mark.parametrize("module,nproc", [("mst", 2), ("greedy", 2),
-                                          ("leiden", 3)])
+                                          ("leiden", 3), ("dbscan", 2)])
 def test_multihost_cli_byte_equal_single_host(tmp_path, jittered_genomes,
                                               module, nproc):
     single = str(tmp_path / f"single_{module}.cluster")
     multi = str(tmp_path / f"multi_{module}.cluster")
-    extra = ("--knn", "0") if module == "leiden" else ()
+    extra = ("--knn", "0") if module == "leiden" else \
+        ("--minpts", "3") if module == "dbscan" else ()
     want = _single_host_cluster(jittered_genomes.list_file, single,
                                 module, extra)
     lm = _launcher()
+    thr = (("--eps", "0.05") if module == "dbscan" else ("-d", "0.05"))
     rc = lm.launch(
         nproc, ["--fast", "-l", "-i", jittered_genomes.list_file,
-                "-o", multi, "-d", "0.05", "-m", "1000", "-t", "1",
+                "-o", multi, *thr, "-m", "1000", "-t", "1",
                 *extra],
         module=module, virtual_cpu_devices=2, timeout=600.0)
     assert rc == 0
