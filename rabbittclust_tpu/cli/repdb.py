@@ -29,12 +29,16 @@ def _query_name(ss, i: int) -> str:
     return name or f"query_{i}"
 
 
-def write_query_tsv(state, ss, output_file: str, topk: int) -> None:
+def write_query_tsv(state, ss, output_file: str, topk: int,
+                    precomputed=None) -> None:
+    """``precomputed`` (one hit list per query) replaces the serial
+    query_topk loop — the multihost probe path supplies it."""
     with open(output_file, "w") as fp:
         fp.write("#query\trank\trep_name\tdistance\tcluster_id\t"
                  "cluster_size\n")
         for i in range(len(ss)):
-            results = state.query_topk(ss.hashes[i], topk)
+            results = precomputed[i] if precomputed is not None \
+                else state.query_topk(ss.hashes[i], topk)
             qname = _query_name(ss, i)
             if not results:
                 fp.write(f"{qname}\t0\tno_match\t-1\t-1\t0\n")
@@ -45,13 +49,14 @@ def write_query_tsv(state, ss, output_file: str, topk: int) -> None:
                              f"{res['cluster_size']}\n")
 
 
-def write_assign_tsv(state, ss, output_file: str) -> None:
+def write_assign_tsv(state, ss, output_file: str, precomputed=None) -> None:
     assigned = unassigned = 0
     with open(output_file, "w") as fp:
         fp.write("#query\tassigned_cluster\trep_name\tdistance\t"
                  "cluster_size\tstatus\n")
         for i in range(len(ss)):
-            res = state.assign(ss.hashes[i])
+            res = precomputed[i] if precomputed is not None \
+                else state.assign(ss.hashes[i])
             qname = _query_name(ss, i)
             if res["rep_idx"] >= 0:
                 fp.write(f"{qname}\t{res['cluster_id']}\t"
@@ -77,6 +82,12 @@ def run_greedy_repdb(args, opts) -> int:
     if not args.is_fast:
         return run_mh_repdb(args, opts)
     db = args.repdb_path
+    if getattr(args, "multihost", None) and not (args.repdb_query
+                                                 or args.repdb_assign):
+        print("ERROR: --multihost supports the --query/--assign RepDB "
+              "verbs only (build/append/stats are single-host)",
+              file=sys.stderr)
+        return 1
     if args.repdb_stats:
         st = KssdClusterState.load_repdb(db)
         st.print_stats(sys.stdout)
@@ -105,6 +116,24 @@ def run_greedy_repdb(args, opts) -> int:
             from ..state.cluster_io import write_cluster_file
             write_cluster_file(args.output, state.clusters, ss2, threshold)
         return 0
+    if args.repdb_query or args.repdb_assign:
+        if getattr(args, "multihost", None) and not args.input:
+            print("ERROR: --query/--assign requires -i <input_file>",
+                  file=sys.stderr)
+            return 1
+        if getattr(args, "multihost", None):
+            import os
+            from ..workflows_dist import (parse_multihost_spec,
+                                          repdb_query_multihost)
+            coord, n_proc, pid = parse_multihost_spec(args.multihost)
+            vdev = os.environ.get("RTC_VIRTUAL_CPU_DEVICES")
+            repdb_query_multihost(
+                db, args.input, args.output, coord, n_proc, pid,
+                sketch_by_file=args.sketch_by_file, topk=args.topk,
+                assign=bool(args.repdb_assign), min_len=args.min_len,
+                threads=args.threads,
+                virtual_cpu_devices=int(vdev) if vdev else None)
+            return 0
     if args.repdb_query:
         if not args.input:
             print("ERROR: --query requires -i <input_file>", file=sys.stderr)

@@ -183,6 +183,52 @@ def clust_mst_multihost(input_file: str, output_file: str,
     return clusters, ss
 
 
+def repdb_query_multihost(db_path: str, input_file: str, output_file: str,
+                          coordinator: str, num_processes: int,
+                          process_id: int, *, sketch_by_file: bool = True,
+                          topk: int = 5, assign: bool = False,
+                          min_len: int = 10000, threads: int = 0,
+                          virtual_cpu_devices: Optional[int] = None):
+    """Distributed RepDB serving (--db --query/--assign --multihost):
+    every process loads the same RepDB replica, sketches ONLY its block of
+    the query list, probes it, and the gathered hits are written by
+    process 0 — TSV byte-identical to the single-host query/assign verbs
+    (reference sub_command.cpp:337-450 writers)."""
+    from .parallel import multihost as mh
+    from .state.greedy_state import KssdClusterState
+    from .cli.repdb import write_assign_tsv, write_query_tsv
+
+    mh.init_multihost(coordinator, num_processes, process_id,
+                      virtual_cpu_devices=virtual_cpu_devices)
+    state = KssdClusterState.load_repdb(db_path)
+    if sketch_by_file:
+        files = read_file_list(input_file)
+        lo, hi = mh.shard_bounds(len(files), num_processes, process_id)
+        log(f"-----process {process_id}: sketching query files [{lo}, {hi})"
+            f" of {len(files)}")
+        local_ss, _ = sketch_files_kssd(files[lo:hi], min_len,
+                                        state.kmer_size,
+                                        state.params.drlevel, threads)
+        ss = gather_global_sketches(local_ss, state.params, True)
+    else:
+        ss, _ = sketch_sequences_kssd(input_file, min_len, state.kmer_size,
+                                      state.params.drlevel, threads)
+        lo, hi = mh.shard_bounds(len(ss), num_processes, process_id)
+        local_ss = ss.reorder(np.arange(lo, hi))
+    if assign:
+        res = mh.multihost_repdb_assign(state, local_ss.hashes)
+    else:
+        res = mh.multihost_repdb_query(state, local_ss.hashes, topk)
+    import jax
+    if jax.process_index() == 0:
+        if assign:
+            write_assign_tsv(state, ss, output_file, precomputed=res)
+        else:
+            write_query_tsv(state, ss, output_file, topk, precomputed=res)
+        log(f"-----write the query result into: {output_file}")
+    return res, ss
+
+
 def main(argv=None) -> int:  # pragma: no cover - exercised via subprocess
     """Module entry used by scripts/launch_multihost.py children."""
     import argparse

@@ -77,6 +77,42 @@ def test_multihost_cli_byte_equal_single_host(tmp_path, jittered_genomes,
     assert got == want, f"{module}: multihost .cluster != single-host"
 
 
+def test_multihost_repdb_query_assign_byte_equal(tmp_path,
+                                                 jittered_genomes):
+    """--db --query/--assign --multihost: sharded query sketching + probe
+    must write TSVs byte-identical to the single-host verbs."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["RTC_PLATFORM"] = "cpu"
+    db = str(tmp_path / "rep.db")
+    lf = jittered_genomes.list_file
+    r = subprocess.run(
+        [sys.executable, "-m", "rabbittclust_tpu.cli.clust_greedy",
+         "--fast", "-l", "-i", lf, "-o", str(tmp_path / "b.cluster"),
+         "-d", "0.05", "-m", "1000", "-t", "2", "--db", db, "--build"],
+        capture_output=True, text=True, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-3000:]
+    lm = _launcher()
+    for verb, flag in (("query", ("--query", "--top-k", "3")),
+                       ("assign", ("--assign",))):
+        single = str(tmp_path / f"single_{verb}.tsv")
+        multi = str(tmp_path / f"multi_{verb}.tsv")
+        r = subprocess.run(
+            [sys.executable, "-m", "rabbittclust_tpu.cli.clust_greedy",
+             "--fast", "-l", "-i", lf, "-o", single, "-m", "1000",
+             "-t", "2", "--db", db, *flag],
+            capture_output=True, text=True, env=env, cwd=REPO)
+        assert r.returncode == 0, r.stderr[-3000:]
+        rc = lm.launch(2, ["--fast", "-l", "-i", lf, "-o", multi,
+                           "-m", "1000", "-t", "1", "--db", db, *flag],
+                       module="greedy", virtual_cpu_devices=2,
+                       timeout=600.0)
+        assert rc == 0
+        assert open(multi).read() == open(single).read(), \
+            f"repdb {verb}: multihost TSV != single-host"
+
+
 def _parse_partition(text):
     out = []
     for block in text.split("the cluster ")[1:]:
