@@ -46,28 +46,53 @@ def make_sketches(n, s=500, seed=7):
     return hashes
 
 
-def child(pid, nproc, port, ndev, n, threshold, k):
-    from rabbittclust_tpu.parallel.multihost import (
-        init_multihost, multihost_threshold_clusters, shard_bounds)
-    init_multihost(f"127.0.0.1:{port}", nproc, pid,
-                   virtual_cpu_devices=ndev)
+def child(pid, nproc, port, ndev, n, threshold, k, module):
+    from rabbittclust_tpu.parallel import multihost as mh
+    mh.init_multihost(f"127.0.0.1:{port}", nproc, pid,
+                      virtual_cpu_devices=ndev)
     hashes = make_sketches(n)
-    lo, hi = shard_bounds(n, nproc, pid)
+    lo, hi = mh.shard_bounds(n, nproc, pid)
     local = hashes[lo:hi]
-    # warm (compiles), then timed
-    multihost_threshold_clusters(local, n, threshold, k)
+
+    if module == "leiden":
+        run = lambda: mh.multihost_leiden(local, n, threshold, k)
+    elif module == "greedy":
+        run = lambda: mh.multihost_greedy(local, n, threshold, k)[0]
+    elif module == "dbscan":
+        run = lambda: mh.multihost_dbscan(local, n, threshold, 3, k)
+    else:
+        run = lambda: mh.multihost_threshold_clusters(local, n, threshold, k)
+    run()  # warm (compiles), then timed
     t0 = time.perf_counter()
-    clusters = multihost_threshold_clusters(local, n, threshold, k)
+    result = run()
     t_mh = time.perf_counter() - t0
     if pid == 0:
-        from rabbittclust_tpu.ops.cluster_fast import \
-            threshold_clusters_device as threshold_clusters
         t0 = time.perf_counter()
-        single = threshold_clusters(hashes, threshold, k)
+        if module == "leiden":
+            from rabbittclust_tpu.cluster.leiden import community_clusters
+            single = community_clusters(hashes, threshold, k)
+            eq = result == single
+        elif module == "greedy":
+            from rabbittclust_tpu.cluster.greedy import greedy_cluster
+            from rabbittclust_tpu.sketch.base import stdsort_size_desc
+            order = stdsort_size_desc(
+                np.array([len(h) for h in hashes], dtype=np.int64))
+            single = greedy_cluster([hashes[i] for i in order], threshold,
+                                    k, presorted=True).clusters
+            eq = result == single
+        elif module == "dbscan":
+            from rabbittclust_tpu.cluster.dbscan import dbscan_cluster
+            single = dbscan_cluster(hashes, threshold, 3, k)
+            eq = result.labels.tolist() == single.labels.tolist()
+        else:
+            from rabbittclust_tpu.ops.cluster_fast import \
+                threshold_clusters_device as threshold_clusters
+            single = threshold_clusters(hashes, threshold, k)
+            eq = sorted(map(sorted, result)) == sorted(map(sorted, single))
         t_single = time.perf_counter() - t0
-        eq = sorted(map(sorted, clusters)) == sorted(map(sorted, single))
         print(json.dumps({
-            "n": n, "procs": nproc, "devices": nproc * ndev,
+            "n": n, "module": module, "procs": nproc,
+            "devices": nproc * ndev,
             "t_multihost_s": round(t_mh, 2),
             "pairs_per_s": round(n * (n - 1) / 2 / t_mh, 1),
             "t_single_s": round(t_single, 2),
@@ -83,13 +108,15 @@ def main():
     ap.add_argument("--devices-per-proc", type=int, default=4)
     ap.add_argument("--threshold", type=float, default=0.05)
     ap.add_argument("--k", type=int, default=21)
+    ap.add_argument("--module", default="clusters",
+                    choices=["clusters", "leiden", "greedy", "dbscan"])
     ap.add_argument("--child", type=int, default=-1, help=argparse.SUPPRESS)
     ap.add_argument("--port", type=int, default=0, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.child >= 0:
         child(args.child, args.procs, args.port, args.devices_per_proc,
-              args.n, args.threshold, args.k)
+              args.n, args.threshold, args.k, args.module)
         return
 
     s = socket.socket()
@@ -104,7 +131,7 @@ def main():
          "--port", str(port), "--procs", str(args.procs),
          "--devices-per-proc", str(args.devices_per_proc),
          "--n", str(args.n), "--threshold", str(args.threshold),
-         "--k", str(args.k)],
+         "--k", str(args.k), "--module", args.module],
         env=env, cwd=REPO) for pid in range(args.procs)]
     rc = [p.wait() for p in procs]
     if any(rc):
