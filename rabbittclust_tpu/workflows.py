@@ -351,6 +351,32 @@ def compute_kssd_clusters(ss: SketchSet, p: KssdParams, threshold: float,
     # MST module
     from .utils.timers import Timer
     timer = Timer()
+    if (os.environ.get("RTC_MST_CLUSTERS_FAST", "0") == "1"
+            and opts.use_device and opts.no_save and not opts.dense
+            and not opts.save_rep and not opts.newick_tree
+            and not opts.phylip_tree and not opts.nexus_tree
+            and not opts.linkage_matrix and not opts.auto_threshold
+            and not opts.stability and opts.dedup_dist < 0.0
+            and opts.reps_per_cluster <= 0):
+        # OPT-IN MST-free clusters path (-e with no MST consumer): the
+        # gated-verify / label-propagation engine produces the IDENTICAL
+        # partition with O(N)-per-round pulls at scale (the bench headline
+        # engine — 131k genomes in ~9 s on one v5e chip), but within-
+        # cluster member order is BFS over its distance-sorted verified
+        # spanning forest, which can differ from the reference's MST-cut
+        # order (src/MST.cpp:109-142) — hence opt-in, not default
+        from .ops.cluster_fast import threshold_clusters_device
+        log("-----using the MST-free device cluster engine "
+            "(RTC_MST_CLUSTERS_FAST=1; partition-exact, member order "
+            "may differ from the MST cut)")
+        with timer.phase("computing clusters (device, MST-free)"):
+            clusters = threshold_clusters_device(
+                ss.hashes, threshold, p.kmer_size,
+                is_containment=is_containment)
+        write_cluster_file(output_file, clusters, ss, threshold)
+        log(f"-----write the cluster result into: {output_file}")
+        log(f"-----the number of clusters is: {len(clusters)}")
+        return clusters, ss
     with timer.phase("computing mst"):
         res = _compute_mst_engine(ss, threshold, p.kmer_size, is_containment,
                                   opts, threads=threads)

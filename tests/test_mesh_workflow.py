@@ -72,3 +72,26 @@ def test_device_mst_engine_single_chip_fallbacks(sketchset, monkeypatch):
     assert np.array_equal(
         res.dense, compute_mst(ss.hashes, 0.05, p.kmer_size,
                                with_dense=True).dense)
+
+
+def test_mst_free_clusters_fast_path(sketchset, monkeypatch, tmp_path):
+    """RTC_MST_CLUSTERS_FAST=1 + --device -e: the MST build is skipped and
+    the gated-verify/label-propagation engine writes the identical
+    PARTITION (member order may legally differ from the MST cut)."""
+    from rabbittclust_tpu.workflows import (OutputOptions,
+                                            compute_kssd_clusters)
+    ss, p = sketchset
+    rh = compute_mst(ss.hashes, 0.05, p.kmer_size)
+    host = clusters_from_forest(cut_forest(rh.mst, 0.05), len(ss))
+    monkeypatch.setenv("RTC_MST_CLUSTERS_FAST", "1")
+    out = str(tmp_path / "fast.cluster")
+    opts = OutputOptions(use_device=True, no_save=True)
+    clusters, _ = compute_kssd_clusters(ss, p, 0.05, 2, out, False, opts,
+                                        None, "mst")
+    assert sorted(map(sorted, clusters)) == sorted(map(sorted, host))
+    text = open(out).read()
+    assert text.startswith("# Clustering threshold: 0.050000")
+    # every genome appears exactly once in the written file
+    import re
+    ids = [int(m) for m in re.findall(r"\n\t\s*\d+\t\s*(\d+)\t", text)]
+    assert sorted(ids) == list(range(len(ss)))
