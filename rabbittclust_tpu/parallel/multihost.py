@@ -546,6 +546,10 @@ def multihost_dbscan(local_hashes: List[np.ndarray], n_total: int,
         raise ValueError("knn_k/max_posting are KSSD-engine accelerators; "
                          "the MinHash DBSCAN engine has neither "
                          "(dbscan.cpp:987-1097)")
+    if is_containment and not minhash:
+        raise ValueError("is_containment applies to the MinHash DBSCAN "
+                         "criterion only (KSSD dbscan has no containment "
+                         "mode, dbscan.cpp:559-565)")
     if mesh is None:
         mesh = global_mesh()
     n_proc = jax.process_count()
