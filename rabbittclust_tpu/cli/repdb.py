@@ -80,6 +80,12 @@ def _build_state_from_sketchset(ss, p, threshold: float) -> KssdClusterState:
 def run_greedy_repdb(args, opts) -> int:
     """KSSD (--fast) and MinHash greedy RepDB verbs."""
     if not args.is_fast:
+        if getattr(args, "multihost", None):
+            # without this guard every launched process would run the full
+            # serial MinHash query/assign and race on the same output file
+            print("ERROR: --multihost RepDB serving requires --fast (the "
+                  "MinHash RepDB verbs are single-host)", file=sys.stderr)
+            return 1
         return run_mh_repdb(args, opts)
     db = args.repdb_path
     if getattr(args, "multihost", None) and not (args.repdb_query

@@ -109,8 +109,17 @@ def _neighbor_lists(hashes, eps: float, kmer_size: int, knn_k: int,
         out = []
         for i in range(n):
             if len(adj[i]) > knn_k:
-                idx = np.argsort(-np.asarray(adj_j[i]), kind="stable")[:knn_k]
-                out.append(np.asarray(adj[i], dtype=np.int64)[idx])
+                # canonical tie order at the k-th cut: neighbor id ascending
+                # within equal jaccard (pre-sort by id, then stable argsort)
+                # — matches the multihost engine, and replaces the old
+                # insertion order, which was thread-nondeterministic when
+                # pairs came from the native rtc_pairs engine anyway
+                ai = np.asarray(adj[i], dtype=np.int64)
+                aj = np.asarray(adj_j[i])
+                by_id = np.argsort(ai, kind="stable")
+                ai, aj = ai[by_id], aj[by_id]
+                idx = np.argsort(-aj, kind="stable")[:knn_k]
+                out.append(ai[idx])
             else:
                 out.append(np.asarray(adj[i], dtype=np.int64))
         return out

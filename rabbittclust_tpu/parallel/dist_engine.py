@@ -95,7 +95,9 @@ def build_ring_fn(threshold: float, kmer_size: int, radio: int):
             s1 = vis_sizes[None, :].astype(jnp.float32)
             mn = jnp.minimum(s0, s1)
             mx = jnp.maximum(s0, s1)
-            ok = (counts > 0) & (mn > 0) & (mx <= radio * mn)
+            ok = (counts > 0) & (mn > 0)
+            if radio:  # 0 = no size-ratio gate (see build_ring_bitmap_fn)
+                ok &= (mx <= radio * mn)
             # triangular schedule: each unordered pair lands on one device
             ok &= _ownership_mask(t, n_dev, row_ids, vis_ids)
             common = counts.astype(jnp.float32)
@@ -189,7 +191,9 @@ def build_ring_edges_fn(threshold: float, kmer_size: int, radio: int,
             s1 = vis_sizes[None, :]
             mn = jnp.minimum(s0, s1)
             mx = jnp.maximum(s0, s1)
-            ok = (counts > 0) & (mn > 0) & (mx <= radio * mn)
+            ok = (counts > 0) & (mn > 0)
+            if radio:  # 0 = no size-ratio gate (see build_ring_bitmap_fn)
+                ok &= (mx <= radio * mn)
             ok &= _ownership_mask(t, n_dev, row_ids, vis_ids)
             # two-level compaction (see ops.bitmap): safe because the host
             # regrows whenever cnt > cap, and chunks_hit <= cnt <= cap
@@ -229,11 +233,12 @@ def distributed_candidate_edges(packed_plane0: np.ndarray,
     """Exact candidate edges (i, j, common) across the mesh, every pair
     covered exactly once (pair ownership: global_i > global_j).
 
-    ``radio`` overrides the size-ratio prefilter; default is the reference's
-    int-truncated MST prefilter (size_ratio_limit with k-1).  Callers whose
-    downstream filter differs (e.g. the Leiden graph's ratio >= 0.5) pass a
-    safe superset bound instead.  ``packed_plane1`` enables 64-bit KSSD
-    hashes (two uint32 planes per slot)."""
+    ``radio`` overrides the size-ratio prefilter; default (None) is the
+    reference's int-truncated MST prefilter (size_ratio_limit with k-1).
+    Callers whose downstream filter differs (e.g. the Leiden graph's ratio
+    >= 0.5) pass a safe superset bound instead; ``radio=0`` disables the
+    gate entirely (containment criteria are ratio-free).  ``packed_plane1``
+    enables 64-bit KSSD hashes (two uint32 planes per slot)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -328,7 +333,11 @@ def build_ring_bitmap_fn(cap: int, jmin_num: float, jmin_den: float,
             thresh = common_min - jnp.minimum(coll[:, None], vcoll[None, :])
             mni = jnp.minimum(sizes[:, None], vsizes[None, :])
             mxi = jnp.maximum(sizes[:, None], vsizes[None, :])
-            ok = (shared >= thresh) & (mni > 0) & (mxi <= radio * mni)
+            ok = (shared >= thresh) & (mni > 0)
+            if radio:  # radio == 0 disables the size-ratio gate (static):
+                # containment jaccard (common/min) implies NO ratio bound,
+                # so containment callers pass 0 — see multihost_dbscan
+                ok &= (mxi <= radio * mni)
             ok &= _ownership_mask(t, n_dev, row_ids, vis_ids)
             # two-level compaction (see ops.bitmap): safe because the host
             # regrows whenever cnt > cap, and chunks_hit <= cnt <= cap

@@ -529,10 +529,9 @@ def multihost_dbscan(local_hashes: List[np.ndarray], n_total: int,
     Exactness: labels equal the single-host engine's because expansion
     outcomes depend only on the adjacency SETS (see expand_labels).  For
     knn_k > 0 the per-node cap breaks exact-jaccard ties at the k-th
-    neighbor canonically (neighbor id ascending within equal jaccard);
-    the single-host engine's own tie order there is thread-nondeterministic
-    (rtc_pairs concatenates per-thread outputs), so ties at the cut are
-    outside both engines' determinism envelope.  Mirrors
+    neighbor canonically (neighbor id ascending within equal jaccard) —
+    the single-host _neighbor_lists uses the SAME canonical order, so the
+    two engines agree even at tied cuts.  Mirrors
     dbscan_cluster / minhash_dbscan_cluster (reference dbscan.cpp:559-565,
     831-870, 987-1097)."""
     import math
@@ -575,9 +574,11 @@ def multihost_dbscan(local_hashes: List[np.ndarray], n_total: int,
         adj = [np.delete(full, i) for i in range(n_total)]
         labels, k = expand_labels(adj, n_total, min_pts, include_self=False)
         return result_from_labels(labels, n_total, k, drop_empty=True)
-    # containment jaccard is size-ratio-free (c/min ignores the max side);
+    # containment jaccard is size-ratio-free (c/min ignores the max side):
+    # radio=0 DISABLES the ring's ratio gate (None would substitute the MST
+    # default and silently drop high-ratio containment neighbors);
     # otherwise widen the ring ratio prefilter to the criterion's bound
-    radio = None if (minhash and is_containment) else max(
+    radio = 0 if (minhash and is_containment) else max(
         2, int(math.ceil(2.0 / x))) + 1
     ii, jj = multihost_candidate_pairs_bitmap(
         local_hashes, n_total, eps, kmer_size,
@@ -779,6 +780,25 @@ def _make_sim_sketches_sized(n: int, seed: int = 3) -> List[np.ndarray]:
     return out
 
 
+def _make_sim_sketches_spread(n: int, seed: int = 11) -> List[np.ndarray]:
+    """Subset-containment corpus with a >5x sketch-size spread: each group
+    is one 300-hash 'big' genome plus two 40-hash random SUBSETS of it
+    (containment jaccard 1.0, size ratio 7.5).  The multihost ring's MST
+    size-ratio gate (radio ~4 at eps=0.05, k=21) would silently drop every
+    big-small pair — the regression the radio=0 mode exists for."""
+    rng = np.random.default_rng(seed)
+    out = []
+    big = None
+    for i in range(n):
+        if i % 3 == 0 or big is None:
+            big = np.unique(
+                rng.integers(0, 2 ** 28, size=300).astype(np.uint32))
+            out.append(big)
+        else:
+            out.append(np.sort(rng.choice(big, size=40, replace=False)))
+    return out
+
+
 def _sim_child(process_id: int, num_processes: int, port: int,
                devices_per_proc: int, n_genomes: int) -> None:
     init_multihost(f"127.0.0.1:{port}", num_processes, process_id,
@@ -871,6 +891,16 @@ def _sim_child(process_id: int, num_processes: int, port: int,
                                       is_containment=True)
     assert dbc_mh.labels.tolist() == dbc_host.labels.tolist(), \
         "multihost containment minhash dbscan != single-host"
+    # containment with a 7.5x sketch-size spread: the ring must NOT apply
+    # the MST size-ratio gate (radio=0 mode) or every big-subset pair drops
+    sp = _make_sim_sketches_spread(n_genomes)
+    dbs_mh = multihost_dbscan(sp[lo:hi], n_genomes, 0.05, 2, 21,
+                              minhash=True, is_containment=True, bits=2048)
+    dbs_host = minhash_dbscan_cluster(sp, 0.05, 2, 21, is_containment=True)
+    assert any(len(c) >= 3 for c in dbs_host.clusters), \
+        "spread corpus failed to form big+subset clusters (bad fixture)"
+    assert dbs_mh.labels.tolist() == dbs_host.labels.tolist(), \
+        "multihost containment dbscan (size spread) != single-host"
     # multihost RepDB probe/assign == the serial query loop over the same
     # replica (sharded serving; every process loads the identical state)
     from ..sketch.base import SketchSet

@@ -230,7 +230,10 @@ def repdb_query_multihost(db_path: str, input_file: str, output_file: str,
 
 
 def main(argv=None) -> int:  # pragma: no cover - exercised via subprocess
-    """Module entry used by scripts/launch_multihost.py children."""
+    """Standalone module entry (python -m rabbittclust_tpu.workflows_dist)
+    for launching one multihost process directly; scripts/launch_multihost.py
+    spawns the clust_{module} console CLIs instead — both accept the same
+    dbscan options."""
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--multihost", required=True)
@@ -249,6 +252,11 @@ def main(argv=None) -> int:  # pragma: no cover - exercised via subprocess
     ap.add_argument("--module", default="mst",
                     choices=["mst", "greedy", "leiden", "dbscan"])
     ap.add_argument("--minpts", type=int, default=5)
+    # dbscan accelerators — same surface as the clust_dbscan CLI so both
+    # launch paths (this module entry and the clust_* console scripts)
+    # accept identical options
+    ap.add_argument("--knn", dest="knn_k", type=int, default=0)
+    ap.add_argument("--max-posting", dest="max_posting", type=int, default=0)
     ap.add_argument("--virtual-cpu-devices", type=int, default=None)
     args = ap.parse_args(argv)
     coord, n_proc, pid = parse_multihost_spec(args.multihost)
@@ -257,7 +265,8 @@ def main(argv=None) -> int:  # pragma: no cover - exercised via subprocess
         sketch_by_file=args.sketch_by_file, kmer_size=args.kmer_size,
         threshold=args.threshold, drlevel=args.drlevel,
         min_len=args.min_len, threads=args.threads, bits=args.bits,
-        module=args.module, min_pts=args.minpts,
+        module=args.module, min_pts=args.minpts, knn_k=args.knn_k,
+        max_posting=args.max_posting,
         virtual_cpu_devices=args.virtual_cpu_devices)
     return 0
 
