@@ -166,6 +166,13 @@ def device_child():
            "t_device_s": t_tpu, "digest": partition_digest(ct),
            "pulled_bytes": bm.PULL_STATS["bytes"],
            "pulls": bm.PULL_STATS["pulls"]}
+    from rabbittclust_tpu.ops.labelprop import LP_STATS
+    if LP_STATS.get("rounds"):
+        # phase decomposition of the (last timed) labelprop run.  pull_s
+        # blocks on all queued device work, so it contains the build +
+        # round device compute; the remainder is host-side.
+        out["phases"] = {k: (round(v, 3) if isinstance(v, float) else v)
+                         for k, v in LP_STATS.items()}
     if os.environ.get("BENCH_FILTER", "1") == "1":
         # default-on: device-compute-only filter roofline (the per-chip
         # number the north star is judged on); BENCH_FILTER=0 skips it
@@ -181,6 +188,64 @@ def device_child():
     print(json.dumps(out), flush=True)
 
 
+def _baseline_cache_path():
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, "bench_host_baseline.json")
+
+
+def _load_baseline_cache():
+    try:
+        with open(_baseline_cache_path()) as fp:
+            return json.load(fp)
+    except Exception:
+        return {}
+
+
+def _save_baseline_cache(cache):
+    tmp = _baseline_cache_path() + ".tmp"
+    with open(tmp, "w") as fp:
+        json.dump(cache, fp)
+    os.replace(tmp, _baseline_cache_path())
+
+
+def host_baseline(hashes, n, s, threshold, kmer_size):
+    """Host baseline time + partition digest with a min-of-k cache.
+
+    Above 65536 genomes a single host pass takes minutes on this 2-core
+    box and carries the shared machine's +-30% noise directly into
+    vs_baseline; the cache (keyed by the exact workload parameters)
+    accumulates the MIN across rounds so the reported baseline converges.
+    BENCH_HOST=force re-times even when cached; BENCH_HOST=cache trusts a
+    cached entry without a fresh run (used for the N=1M datapoint where a
+    host pass is ~an hour)."""
+    key = f"n{n}_s{s}_d{threshold}_k{kmer_size}_seed7"
+    cache = _load_baseline_cache()
+    ent = cache.get(key)
+    mode = os.environ.get("BENCH_HOST", "auto")
+    if ent and mode == "cache":
+        return float(ent["t_min"]), ent["digest"], dict(
+            ent, source="cache-only")
+    reps = 2 if n <= 65536 else 1
+    t_host = float("inf")
+    ch = None
+    for _rep in range(reps):
+        t0 = time.perf_counter()
+        ch = clusters_host(hashes, threshold, kmer_size)
+        t_host = min(t_host, time.perf_counter() - t0)
+    digest = partition_digest(ch)
+    if ent and ent.get("digest") not in (None, digest):
+        print(f"bench: WARNING cached baseline digest differs for {key}",
+              file=sys.stderr)
+        ent = None
+    runs = (ent.get("runs", 0) if ent else 0) + reps
+    t_min = min(t_host, float(ent["t_min"])) if ent else t_host
+    cache[key] = {"t_min": t_min, "digest": digest, "runs": runs}
+    _save_baseline_cache(cache)
+    return t_min, digest, dict(cache[key], source="timed+cache",
+                               t_this_run=round(t_host, 3))
+
+
 def main():
     n = int(os.environ.get("BENCH_N", "131072"))
     s = int(os.environ.get("BENCH_S", "1000"))
@@ -190,15 +255,10 @@ def main():
     pairs = n * (n - 1) / 2
 
     # host baseline (this process never touches the device — the single
-    # TPU grant belongs to the child); min of 2 runs at small N, matching
-    # the device child's min-of-2 (shared-machine timing noise); one run
-    # above 65536 where a host pass takes minutes and noise is relatively
-    # small
-    t_host = float("inf")
-    for _rep in range(2 if n <= 65536 else 1):
-        t0 = time.perf_counter()
-        ch = clusters_host(hashes, threshold, kmer_size)
-        t_host = min(t_host, time.perf_counter() - t0)
+    # TPU grant belongs to the child); min-of-k accumulated across rounds
+    # in .cache/bench_host_baseline.json (provenance in the output JSON)
+    t_host, host_digest, baseline_prov = host_baseline(
+        hashes, n, s, threshold, kmer_size)
 
     # device path in a killable subprocess: the tunnel can wedge
     # indefinitely, and a hung RPC is not interruptible in-process
@@ -212,7 +272,7 @@ def main():
         info = json.loads(proc.stdout.strip().splitlines()[-1])
         backend = info["backend"]
         t_tpu = float(info["t_device_s"])
-        ok = info["digest"] == partition_digest(ch)
+        ok = info["digest"] == host_digest
     except Exception as e:  # pragma: no cover
         print(f"bench: device path failed/timed out: {e}", file=sys.stderr)
         backend = "none"
@@ -249,9 +309,22 @@ def main():
         "filter_compute_pairs_per_s": round(fpps) if fpps else None,
         "filter_int8_ops_per_s": round(ops) if ops else None,
         "int8_peak_ops_per_s": info.get("int8_peak_ops_per_s"),
-        "mfu": (round(info["mfu"], 4) if info.get("mfu") else None),
+        # filter_mfu is the FILTER-PHASE-ONLY MFU (staged arrays, no
+        # pulls); end_to_end_mfu charges the whole device wall time —
+        # the honest utilization of the headline number
+        "filter_mfu": (round(info["mfu"], 4) if info.get("mfu") else None),
+        "end_to_end_mfu": (
+            round(pairs * 8192 * 2 / t_tpu / info["int8_peak_ops_per_s"], 4)
+            if info.get("int8_peak_ops_per_s") and backend != "none"
+            else None),
         "device_pulled_bytes": info.get("pulled_bytes"),
         "device_pulls": info.get("pulls"),
+        # phase decomposition of the device run (labelprop engine):
+        # pull_s contains the build+round DEVICE compute (async runtime —
+        # the pull blocks on queued work); verify_s is host exact-verify;
+        # pack/stage/finish are host-side pre/post phases
+        "device_phases": info.get("phases"),
+        "baseline": baseline_prov,
     }
     print(json.dumps(result))
 

@@ -1,5 +1,6 @@
 """Device-resident label-propagation clustering — breaks the O(N^2/8)
-mask-pull floor of the streaming bitmap engine.
+mask-pull floor of the streaming bitmap engine, and (panel-streamed) the
+O(N^2/8) resident-HBM ceiling too.
 
 The streaming engine (ops/cluster_fast.py) pulls EVERY candidate pair to
 the host (packed masks: N^2/8 bytes regardless of density, 302 MB at
@@ -7,9 +8,9 @@ N=65536) even though single-linkage clustering only ever needs ~N-1 true
 edges plus the verified rejections.  This engine keeps the candidate masks
 RESIDENT on the device and runs Boruvka-style rounds:
 
-  build   one dispatch computes the MXU bitmap filter for every triangular
-          tile (ops.bitmap._batched_mask_fn) and leaves the bit-packed
-          candidate masks in HBM — nothing is pulled.
+  build   one dispatch computes the MXU bitmap filter for a PANEL of
+          triangular tiles (ops.bitmap._batched_mask_fn) and leaves the
+          bit-packed candidate masks in HBM — nothing is pulled.
   round   one dispatch (a) clears bits of pairs the host exact-verified as
           failing, (b) recomputes, under the CURRENT component labels, each
           row's minimum cross-component candidate partner and each column's
@@ -20,6 +21,19 @@ RESIDENT on the device and runs Boruvka-style rounds:
           counts + float64 distances), merges passes into a union-find,
           and pushes the new labels + the failed pairs' clear-list into the
           next round.
+
+Panel streaming (the HBM-scale mode): resident masks are N^2/8 bytes — at
+N~360k they exhaust a v5e's 16 GB HBM while the reference's flagship claim
+is 1.13M genomes (reference README.md:258-262).  The triangular tile sweep
+is therefore split into panels of at most RTC_LP_PANEL_TILES tiles
+(default 512 = 4.3 GB at rb=8192); each panel's filter is computed ONCE
+(so total MXU work is exactly one full sweep), labelprop rounds run until
+the PANEL has no cross-label candidates left, the panel's masks are freed,
+and the union-find labels carry into the next panel.  Per-panel
+convergence is sufficient for global exactness: the union-find only ever
+merges, so a pair that was same-label when its panel retired can never
+become cross-label again.  For N <= ~panel capacity this degenerates to
+the original single-panel all-resident engine.
 
 Pulled bytes per round: 4*(1 + 2*n_pad) — O(N), never O(N^2).  Rounds are
 few: round 1 star-collapses most clusters (every member proposes the
@@ -32,15 +46,16 @@ masks.  Every candidate pair ends in exactly one state: (a) exact-verified
 pass (merged, edge kept), (b) exact-verified fail (bit cleared on device —
 it is never proposed again), or (c) same-label (gated: its endpoints are
 already connected by verified edges, so it cannot change the partition).
-The loop exits only when cross_count == 0, i.e. every remaining candidate
-is same-label.  Progress per round is guaranteed (a nonzero cross_count
-implies at least one proposal, and every proposal is merged or cleared),
-so termination is unconditional; ``max_rounds`` only bounds pathological
-inputs before an exact host-side fallback finishes the job.
+Each panel's loop exits only when its cross_count == 0, i.e. every
+remaining candidate in the panel is same-label.  Progress per round is
+guaranteed (a nonzero cross_count implies at least one proposal, and every
+proposal is merged or cleared), so termination is unconditional;
+``max_rounds`` only bounds pathological inputs before an exact host-side
+fallback finishes the panel.
 
 Reference role: the streaming per-thread Kruskal memory trick at
-MST.cpp:571-574,779-787 — done TPU-natively (device holds the O(N^2)
-candidate state; the host sees O(N) per round).
+MST.cpp:571-574,779-787 — done TPU-natively (device holds a bounded
+window of the O(N^2) candidate state; the host sees O(N) per round).
 """
 
 from __future__ import annotations
@@ -63,6 +78,20 @@ from ..distance.mash import (
 from . import bitmap as bm
 
 SENT = np.int32(1 << 30)
+
+# phase decomposition of the last run (read by bench.py; wall seconds).
+# "pull" blocks on all queued device work, so it includes the device
+# compute of the build + round dispatches it waits for — the honest split
+# between device time and host time on an async runtime is pull vs the
+# rest.  reset_lp_stats() zeroes it.
+LP_STATS = {"pack_s": 0.0, "stage_s": 0.0, "pull_s": 0.0, "verify_s": 0.0,
+            "finish_s": 0.0, "total_s": 0.0, "rounds": 0, "panels": 0,
+            "proposals": 0}
+
+
+def reset_lp_stats() -> None:
+    for k in LP_STATS:
+        LP_STATS[k] = 0.0 if isinstance(LP_STATS[k], float) else 0
 
 
 def _round_fn(packs, labels, clr_t, clr_r, clr_b, clr_sub, r0s, c0s, valid,
@@ -139,9 +168,12 @@ def threshold_clusters_device_lp(
     bits: int = 8192,
     row_block: int = 8192,
     max_rounds: int = 256,
+    panel_tiles: int = 0,
 ) -> List[List[int]]:
     """Exact single-linkage clusters at ``threshold`` (BFS-ordered like the
-    reference MST cut) with O(N)-per-round device pulls."""
+    reference MST cut) with O(N)-per-round device pulls and an HBM
+    footprint bounded by ``panel_tiles`` resident mask tiles (default
+    RTC_LP_PANEL_TILES=512 = 4.3 GB at rb=8192 — any N fits)."""
     import jax.numpy as jnp
     from ..utils.jaxcfg import configure_jax
     configure_jax()
@@ -151,8 +183,12 @@ def threshold_clusters_device_lp(
         return []
     from ..cluster.mst import clusters_from_forest, kruskal
 
+    reset_lp_stats()
+    t_all = time.perf_counter()
     rb = min(row_block, max(128, 1 << max(n - 1, 1).bit_length()))
+    t0 = time.perf_counter()
     xp, coll = bm.pack_bitmaps_packed(hashes, bits=bits, pad_n_to=rb)
+    LP_STATS["pack_s"] = time.perf_counter() - t0
     n_pad = xp.shape[0]
     sizes = np.zeros(n_pad, dtype=np.int32)
     sizes[:n] = [len(h) for h in hashes]
@@ -160,27 +196,26 @@ def threshold_clusters_device_lp(
     c_min = math.exp(-threshold * kmer_size)
     radio = size_ratio_limit(threshold, kmer_size - 1)
 
-    # triangular tile sweep, padded to a power of two so the number of
-    # distinct compiled (T, n_pad) shapes stays logarithmic
+    # triangular tile sweep, split into panels of <= t_cap tiles (t_cap a
+    # power of two so the number of distinct compiled shapes stays
+    # logarithmic); each panel's masks are resident only while it runs
     tiles = [(r0, c0) for r0 in range(0, n_pad, rb)
              for c0 in range(0, r0 + rb, rb)]
+    if panel_tiles <= 0:
+        panel_tiles = int(os.environ.get("RTC_LP_PANEL_TILES", "512"))
     t_cap = 1
-    while t_cap < len(tiles):
+    while t_cap < min(len(tiles), panel_tiles):
         t_cap *= 2
-    r0s = np.zeros(t_cap, dtype=np.int32)
-    c0s = np.zeros(t_cap, dtype=np.int32)
-    valid = np.zeros(t_cap, dtype=np.int32)
-    for t, (r0, c0) in enumerate(tiles):
-        r0s[t], c0s[t], valid[t] = r0, c0, 1
-    r0s_d, c0s_d, val_d = jnp.asarray(r0s), jnp.asarray(c0s), \
-        jnp.asarray(valid)
+    panels = [tiles[p:p + t_cap] for p in range(0, len(tiles), t_cap)]
 
-    # build: one dispatch, masks stay resident — counts are NOT pulled
+    # signatures staged ONCE for every panel build
+    t0 = time.perf_counter()
+    xd = jnp.asarray(xp)
+    cd = jnp.asarray(coll)
+    sd = jnp.asarray(sizes)
     scalars = (jnp.float32(j_min), jnp.float32(1.0 + j_min),
                jnp.float32(c_min), jnp.int32(radio))
-    _counts_dev, packs = bm._jitted_batched_mask()(
-        jnp.asarray(xp), jnp.asarray(coll), jnp.asarray(sizes),
-        r0s_d, c0s_d, val_d, *scalars, is_containment, rb)
+    LP_STATS["stage_s"] = time.perf_counter() - t0
 
     uf = UnionFind(n)
     csr = bm.CsrSketches(hashes)
@@ -189,6 +224,7 @@ def threshold_clusters_device_lp(
     kept_j: List[int] = []
     kept_d: List[float] = []
     round_prog = _jitted_round()
+    build_prog = bm._jitted_batched_mask()
 
     def labels_arr():
         roots = np.full(n_pad, -1, dtype=np.int32)
@@ -197,69 +233,101 @@ def threshold_clusters_device_lp(
         roots[n:] = n + np.arange(n_pad - n, dtype=np.int32)
         return roots
 
-    clr = (np.zeros(1024, dtype=np.int32), np.zeros(1024, dtype=np.int32),
-           np.zeros(1024, dtype=np.int32), np.zeros(1024, dtype=np.uint8))
-    rounds = 0
-    converged = False
     from ..utils.profiling import maybe_trace
     with maybe_trace("labelprop_cluster"):
-        while rounds < max_rounds:
-            rounds += 1
-            packs, fused_dev = round_prog(
-                packs, jnp.asarray(labels_arr()),
-                jnp.asarray(clr[0]), jnp.asarray(clr[1]),
-                jnp.asarray(clr[2]), jnp.asarray(clr[3]),
-                r0s_d, c0s_d, val_d, rb)
-            t0 = time.perf_counter()
-            fused = np.asarray(fused_dev)
-            bm._note_pull_time(fused.nbytes, time.perf_counter() - t0)
-            bm._account_pull(fused.nbytes)
-            cross = int(fused[0])
-            if cross == 0:
-                converged = True
-                break
-            row_p = fused[1:1 + n_pad]
-            col_p = fused[1 + n_pad:]
-            g = np.arange(n_pad, dtype=np.int64)
-            rp = row_p < SENT
-            cp = col_p < SENT
-            ii = np.concatenate([g[rp], col_p[cp].astype(np.int64)])
-            jj = np.concatenate([row_p[rp].astype(np.int64), g[cp]])
-            # dedup (a pair may be proposed by both its row and its column)
-            key = ii * n_pad + jj
-            _, sel = np.unique(key, return_index=True)
-            ii, jj = ii[sel], jj[sel]
-            common = csr.count_common(ii, jj)
-            if is_containment:
-                d = aaf_distance(common, sizes64[ii], sizes64[jj], kmer_size)
-            else:
-                d = mash_distance(common, sizes64[ii], sizes64[jj],
-                                  kmer_size)
-            ok = (common > 0) & (d <= threshold)
-            for a, b, dd in zip(ii[ok].tolist(), jj[ok].tolist(),
-                                d[ok].tolist()):
-                if not uf.connected(a, b):
-                    uf.merge(a, b)
-                    kept_i.append(a)
-                    kept_j.append(b)
-                    kept_d.append(dd)
-            # failed pairs -> clear-list for the next dispatch
-            fi, fj = ii[~ok], jj[~ok]
-            clr = _encode_clear(fi, fj, rb)
-    if not converged:
-        _lp_fallback(packs, tiles, rb, n, uf, csr, sizes64, threshold,
-                     kmer_size, is_containment, kept_i, kept_j, kept_d)
+        for p_idx, panel in enumerate(panels):
+            LP_STATS["panels"] += 1
+            t_off = p_idx * t_cap  # global index of the panel's first tile
+            r0s = np.zeros(t_cap, dtype=np.int32)
+            c0s = np.zeros(t_cap, dtype=np.int32)
+            valid = np.zeros(t_cap, dtype=np.int32)
+            for t, (r0, c0) in enumerate(panel):
+                r0s[t], c0s[t], valid[t] = r0, c0, 1
+            r0s_d, c0s_d, val_d = jnp.asarray(r0s), jnp.asarray(c0s), \
+                jnp.asarray(valid)
+            # build: one async dispatch, masks stay resident — counts are
+            # NOT pulled; its device time lands in the first round's pull
+            _counts_dev, packs = build_prog(
+                xd, cd, sd, r0s_d, c0s_d, val_d, *scalars,
+                is_containment, rb)
+            clr = (np.zeros(1024, dtype=np.int32),
+                   np.zeros(1024, dtype=np.int32),
+                   np.zeros(1024, dtype=np.int32),
+                   np.zeros(1024, dtype=np.uint8))
+            rounds = 0
+            converged = False
+            while rounds < max_rounds:
+                rounds += 1
+                LP_STATS["rounds"] += 1
+                packs, fused_dev = round_prog(
+                    packs, jnp.asarray(labels_arr()),
+                    jnp.asarray(clr[0]), jnp.asarray(clr[1]),
+                    jnp.asarray(clr[2]), jnp.asarray(clr[3]),
+                    r0s_d, c0s_d, val_d, rb)
+                t0 = time.perf_counter()
+                fused = np.asarray(fused_dev)
+                dt = time.perf_counter() - t0
+                LP_STATS["pull_s"] += dt
+                bm._note_pull_time(fused.nbytes, dt)
+                bm._account_pull(fused.nbytes)
+                cross = int(fused[0])
+                if cross == 0:
+                    converged = True
+                    break
+                t0 = time.perf_counter()
+                row_p = fused[1:1 + n_pad]
+                col_p = fused[1 + n_pad:]
+                g = np.arange(n_pad, dtype=np.int64)
+                rp = row_p < SENT
+                cp = col_p < SENT
+                ii = np.concatenate([g[rp], col_p[cp].astype(np.int64)])
+                jj = np.concatenate([row_p[rp].astype(np.int64), g[cp]])
+                # dedup (a pair may be proposed by its row and its column)
+                key = ii * n_pad + jj
+                _, sel = np.unique(key, return_index=True)
+                ii, jj = ii[sel], jj[sel]
+                LP_STATS["proposals"] += len(ii)
+                common = csr.count_common(ii, jj)
+                if is_containment:
+                    d = aaf_distance(common, sizes64[ii], sizes64[jj],
+                                     kmer_size)
+                else:
+                    d = mash_distance(common, sizes64[ii], sizes64[jj],
+                                      kmer_size)
+                ok = (common > 0) & (d <= threshold)
+                for a, b, dd in zip(ii[ok].tolist(), jj[ok].tolist(),
+                                    d[ok].tolist()):
+                    if not uf.connected(a, b):
+                        uf.merge(a, b)
+                        kept_i.append(a)
+                        kept_j.append(b)
+                        kept_d.append(dd)
+                # failed pairs -> clear-list for the next dispatch
+                fi, fj = ii[~ok], jj[~ok]
+                clr = _encode_clear(fi, fj, rb, t_off)
+                LP_STATS["verify_s"] += time.perf_counter() - t0
+            if not converged:
+                _lp_fallback(packs, panel, rb, n, uf, csr, sizes64,
+                             threshold, kmer_size, is_containment, kept_i,
+                             kept_j, kept_d)
+            del packs  # free this panel's masks before the next build
 
+    t0 = time.perf_counter()
     forest = kruskal((np.asarray(kept_i, dtype=np.int64),
                       np.asarray(kept_j, dtype=np.int64),
                       np.asarray(kept_d, dtype=np.float64)), n)
-    return clusters_from_forest(forest, n)
+    out = clusters_from_forest(forest, n)
+    LP_STATS["finish_s"] = time.perf_counter() - t0
+    LP_STATS["total_s"] = time.perf_counter() - t_all
+    return out
 
 
-def _encode_clear(fi: np.ndarray, fj: np.ndarray,
-                  rb: int) -> Tuple[np.ndarray, ...]:
+def _encode_clear(fi: np.ndarray, fj: np.ndarray, rb: int,
+                  t_off: int = 0) -> Tuple[np.ndarray, ...]:
     """(t, row, byte, bit-value) clear-list arrays (ladder-padded) for
-    failed pairs (i > j) in the triangular tile order of the build sweep."""
+    failed pairs (i > j) in the triangular tile order of the build sweep.
+    ``t_off`` rebases the global triangular tile index onto the current
+    panel's local pack index (proposals only ever come from panel tiles)."""
     cap = _clear_quantum(len(fi))
     t = np.zeros(cap, dtype=np.int32)
     r = np.zeros(cap, dtype=np.int32)
@@ -268,7 +336,9 @@ def _encode_clear(fi: np.ndarray, fj: np.ndarray,
     if len(fi):
         rblk = fi // rb
         cblk = fj // rb
-        t[:len(fi)] = (rblk * (rblk + 1) // 2 + cblk).astype(np.int32)
+        t[:len(fi)] = (rblk * (rblk + 1) // 2 + cblk - t_off).astype(
+            np.int32)
+        assert t[:len(fi)].min() >= 0, "clear target outside current panel"
         r[:len(fi)] = (fi % rb).astype(np.int32)
         jl = fj % rb
         b[:len(fi)] = (jl // 8).astype(np.int32)

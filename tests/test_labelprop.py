@@ -104,6 +104,39 @@ def test_lp_many_false_positives():
     assert canon(got) == canon(host_partition(hashes, 0.05, 21))
 
 
+@pytest.mark.parametrize("panel_tiles", [1, 2, 4])
+def test_lp_panel_streamed_matches_host(panel_tiles):
+    """Panel streaming (the HBM-scale mode): tiny panels force many
+    build/round cycles with union-find labels carried across panels —
+    the partition must equal the all-resident single-panel one."""
+    from rabbittclust_tpu.ops.labelprop import LP_STATS
+    hashes = make_sketches(n=300, n_clusters=9, seed=13)
+    got = threshold_clusters_device_lp(hashes, 0.05, 21, bits=2048,
+                                       row_block=64,
+                                       panel_tiles=panel_tiles)
+    # 300 genomes pad to 320 rows = 5 row blocks = 15 triangular tiles
+    assert LP_STATS["panels"] == -(-15 // panel_tiles)
+    assert canon(got) == canon(host_partition(hashes, 0.05, 21))
+
+
+def test_lp_panel_streamed_false_positives():
+    # panels + verify-fail clear-lists together: clear indices must rebase
+    # onto the panel-local pack index
+    hashes = make_sketches(n=160, s=60, n_clusters=8, seed=9)
+    got = threshold_clusters_device_lp(hashes, 0.05, 21, bits=128,
+                                       row_block=64, panel_tiles=2)
+    assert canon(got) == canon(host_partition(hashes, 0.05, 21))
+
+
+def test_lp_panel_streamed_fallback():
+    # max_rounds=1 exhausts within EACH panel -> per-panel host fallback
+    hashes = make_sketches(n=200, seed=5)
+    got = threshold_clusters_device_lp(hashes, 0.05, 21, bits=2048,
+                                       row_block=64, max_rounds=1,
+                                       panel_tiles=2)
+    assert canon(got) == canon(host_partition(hashes, 0.05, 21))
+
+
 def test_encode_clear_roundtrip():
     rb = 64
     fi = np.array([70, 130, 129, 5], dtype=np.int64)
