@@ -1831,3 +1831,138 @@ extern "C" void rtc_stdsort_size_desc(const int64_t* sizes, int64_t n,
   for (int64_t i = 0; i < n; ++i) out_perm[i] = v[i].id;
 }
 
+
+// ---------------------------------------------------------------------------
+// Gated exact verify + union-find merge for proposal batches (the host side
+// of the labelprop Boruvka rounds, ops/labelprop.py).  One native pass
+// replaces: count_common dispatch + NumPy distance + Python merge loop.
+// Distances are float64 with libm log (same as the native MST engine,
+// MST.cpp:514-540 parity); union-find is path-compressed + union-by-rank on
+// the caller's arrays — identical semantics to cluster/union_find.py, so
+// Python code can keep using the same state between calls.
+// Returns the number of KEPT edges (verified pass + endpoints previously
+// disconnected), appended to out_i/out_j/out_d in input pair order.
+
+namespace {
+
+static int64_t uf_find(int64_t* parent, int64_t x) {
+  int64_t root = x;
+  while (parent[root] != root) root = parent[root];
+  while (parent[x] != root) {
+    int64_t nxt = parent[x];
+    parent[x] = root;
+    x = nxt;
+  }
+  return root;
+}
+
+template <typename T>
+int64_t verify_merge_engine(const T* flat, const int64_t* offs,
+                            const int64_t* ii, const int64_t* jj, int64_t m,
+                            const int64_t* sizes, double threshold,
+                            int kmer_size, int is_containment,
+                            int64_t* parent, int8_t* rank_, int64_t* out_i,
+                            int64_t* out_j, double* out_d, uint8_t* ok_out,
+                            int threads) {
+  std::vector<int32_t> common((size_t)m);
+#pragma omp parallel for schedule(static) num_threads(threads)
+  for (int64_t p = 0; p < m; ++p) {
+    const T* a = flat + offs[ii[p]];
+    const T* ae = flat + offs[ii[p] + 1];
+    const T* b = flat + offs[jj[p]];
+    const T* be = flat + offs[jj[p] + 1];
+    int32_t c = 0;
+    while (a < ae && b < be) {
+      T x = *a, y = *b;
+      c += (x == y);
+      a += (x <= y);
+      b += (y <= x);
+    }
+    common[(size_t)p] = c;
+  }
+  const double inv_k = 1.0 / (double)kmer_size;
+  int64_t kept = 0;
+  for (int64_t p = 0; p < m; ++p) {
+    ok_out[p] = 0;
+    int32_t c = common[(size_t)p];
+    if (c <= 0) continue;
+    double s0 = (double)sizes[ii[p]];
+    double s1 = (double)sizes[jj[p]];
+    double d;
+    if (is_containment) {
+      double mn = s0 < s1 ? s0 : s1;
+      double cc = mn == 0.0 ? 0.0 : (double)c / mn;
+      if (cc >= 1.0) d = 0.0;
+      else if (cc <= 0.0) d = 1.0;
+      else d = -inv_k * std::log(cc);
+    } else {
+      double denom = s0 + s1 - (double)c;
+      double j = denom == 0.0 ? 0.0 : (double)c / denom;
+      if (j >= 1.0) d = 0.0;
+      else if (j <= 0.0) d = 1.0;
+      else d = -inv_k * std::log(2.0 * j / (1.0 + j));
+    }
+    if (d > threshold) continue;
+    ok_out[p] = 1;  // verified pass (gated-or-kept; failures stay 0)
+    int64_t ra = uf_find(parent, ii[p]);
+    int64_t rb = uf_find(parent, jj[p]);
+    if (ra == rb) continue;
+    if (rank_[ra] < rank_[rb]) std::swap(ra, rb);
+    parent[rb] = ra;
+    if (rank_[ra] == rank_[rb]) ++rank_[ra];
+    out_i[kept] = ii[p];
+    out_j[kept] = jj[p];
+    out_d[kept] = d;
+    ++kept;
+  }
+  return kept;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t rtc_verify_merge_u32(const uint32_t* flat, const int64_t* offs,
+                             const int64_t* ii, const int64_t* jj, int64_t m,
+                             const int64_t* sizes, double threshold,
+                             int kmer_size, int is_containment,
+                             int64_t* parent, int8_t* rank_, int64_t* out_i,
+                             int64_t* out_j, double* out_d, uint8_t* ok_out,
+                             int threads) {
+  return verify_merge_engine<uint32_t>(flat, offs, ii, jj, m, sizes,
+                                       threshold, kmer_size, is_containment,
+                                       parent, rank_, out_i, out_j, out_d,
+                                       ok_out, threads);
+}
+
+int64_t rtc_verify_merge_u64(const uint64_t* flat, const int64_t* offs,
+                             const int64_t* ii, const int64_t* jj, int64_t m,
+                             const int64_t* sizes, double threshold,
+                             int kmer_size, int is_containment,
+                             int64_t* parent, int8_t* rank_, int64_t* out_i,
+                             int64_t* out_j, double* out_d, uint8_t* ok_out,
+                             int threads) {
+  return verify_merge_engine<uint64_t>(flat, offs, ii, jj, m, sizes,
+                                       threshold, kmer_size, is_containment,
+                                       parent, rank_, out_i, out_j, out_d,
+                                       ok_out, threads);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Parallel CSR flatten: gather a list of per-genome hash arrays into one
+// contiguous buffer (the CsrSketches constructor's np.concatenate, which
+// costs ~2 s at 131k genomes on this box).  Pure memcpy, OpenMP over
+// genomes; offsets are prefix sums computed by the caller.
+
+extern "C" void rtc_flatten(const uint64_t* ptrs, const int64_t* offs,
+                            int64_t n, int64_t elem_size, char* out,
+                            int threads) {
+#pragma omp parallel for schedule(static) num_threads(threads)
+  for (int64_t g = 0; g < n; ++g) {
+    int64_t cnt = offs[g + 1] - offs[g];
+    memcpy(out + offs[g] * elem_size, (const void*)ptrs[g],
+           (size_t)(cnt * elem_size));
+  }
+}

@@ -49,6 +49,9 @@ def main(argv=None) -> int:
     if args.presketched:
         from ..state.sketch_io import load_kssd_sketches
         ss, kp = load_kssd_sketches(args.presketched)
+        # from-sketch: the reference derives k from the sketch params
+        # (kmer_size = info.half_k * 2, sub_command.cpp:3247)
+        cluster_kmer = kp.kmer_size
     else:
         kmer_size = args.kmer_size or 19
         tuned = wf.tune_kssd_parameters(
@@ -65,9 +68,14 @@ def main(argv=None) -> int:
             ss, kp = sketch_sequences_kssd(args.input, args.min_len,
                                            tuned.kmer_size, args.drlevel,
                                            args.threads)
+        # from-genome: the reference clusters with the RAW (tuned) CLI k
+        # even though KSSD sketched with the rounded-even 2*half_k
+        # (KssdDBSCAN receives kmerSize verbatim, sub_command.cpp:3281) —
+        # a replicated quirk, visible only for odd -k
+        cluster_kmer = tuned.kmer_size
     print(f"-----the size of sketches (genomes) is: {len(ss)}",
           file=sys.stderr)
-    result = dbscan_cluster(ss.hashes, args.eps, args.minpts, kp.kmer_size,
+    result = dbscan_cluster(ss.hashes, args.eps, args.minpts, cluster_kmer,
                             knn_k=args.knn_k, max_posting=args.max_posting,
                             use_device=args.use_device)
     write_dbscan_result(result, ss, args.output, args.eps, args.minpts)

@@ -72,8 +72,17 @@ def main(argv=None) -> int:
         from ..state.sketch_io import load_kssd_sketches
         ss, kp = load_kssd_sketches(args.presketched)
         folder = args.presketched
+        # from-sketch: k derives from the sketch params (half_k * 2,
+        # reference sub_command.cpp:3173)
+        cluster_kmer = kp.kmer_size
     else:
         kmer_size = args.kmer_size or 19
+        # from-genome: the reference passes the RAW CLI k to
+        # KssdLeidenCluster's distance math even though KSSD sketched
+        # with the rounded-even 2*half_k (sub_command.cpp:3144) — a
+        # replicated quirk, visible only for odd -k (golden:
+        # test_leiden_graph_byte_identical at k=21)
+        cluster_kmer = kmer_size
         if not (0 <= args.drlevel <= 8):
             print(f"ERROR: invalid drlevel {args.drlevel}, should be in "
                   f"[0, 8]", file=sys.stderr)
@@ -106,7 +115,7 @@ def main(argv=None) -> int:
     # --louvain auto-enables the edge-parallel warm-start path
     # (reference main.cpp:403-414)
     clusters = community_clusters(
-        ss.hashes, args.threshold, kp.kmer_size, args.resolution,
+        ss.hashes, args.threshold, cluster_kmer, args.resolution,
         use_leiden=not use_louvain, knn_k=knn_k,
         graph_save_path=graph_path, use_device=args.use_device,
         edge_parallel=use_louvain)

@@ -71,10 +71,13 @@ def build_similarity_graph(hashes: List[np.ndarray], threshold: float,
 
 def _knn_prune(frm, to, ww, knn_k: int) -> Graph:
     """Per-node top-k over forward neighbors (smaller id is "from";
-    reference keeps top-k of {j > i} per i, leiden.cpp:195-231)."""
+    reference keeps top-k of {j > i} per i, leiden.cpp:195-231).  Ties at
+    the k-th cut break by neighbor id ascending — canonical and
+    independent of the (thread-nondeterministic) pair enumeration order;
+    the reference's own tie order there is a hash-map iteration artifact."""
     if knn_k <= 0 or not len(frm):
         return frm, to, ww
-    order = np.lexsort((1.0 - ww, frm))   # by from, then dist asc
+    order = np.lexsort((to, 1.0 - ww, frm))  # from, dist asc, id asc
     frm, to, ww = frm[order], to[order], ww[order]
     starts = np.flatnonzero(np.r_[True, frm[1:] != frm[:-1]])
     lens = np.diff(np.r_[starts, len(frm)])

@@ -84,6 +84,70 @@ def threshold_clusters_device(
     return clusters_from_forest(forest, n)
 
 
+def gated_verify_merge(uf, csr, sizes, ii, jj, threshold, kmer_size,
+                       is_containment):
+    """Exact-verify the (ii, jj) pairs and merge passes into ``uf`` in one
+    native pass (count_common + float64 libm distance + union-find, see
+    rtc_verify_merge_* in native/rtc_native.cpp).  Returns
+    (kept_i, kept_j, kept_d, ok): the kept edges — pairs that verified at
+    d <= threshold AND connected two previously separate components — in
+    input order, plus the per-pair verified-pass mask (False = verified
+    FAIL, the caller's clear-list), exactly like the count/distance/merge
+    loop it replaces (ops/labelprop.py rounds).  libm log keeps distances
+    bit-identical to the native MST engine; the NumPy fallback may differ
+    by 1 ulp (cannot change any partition)."""
+    import ctypes
+    from ..utils import native as native_mod
+
+    m = len(ii)
+    if m == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), np.empty(0, dtype=np.float64), \
+            np.empty(0, dtype=bool)
+    lib = native_mod.load_native()
+    if lib is not None:
+        fn = (lib.rtc_verify_merge_u64 if csr.use64
+              else lib.rtc_verify_merge_u32)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                       ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                       ctypes.c_double, ctypes.c_int, ctypes.c_int,
+                       ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                       ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                       ctypes.c_int]
+        ii64 = np.ascontiguousarray(ii, dtype=np.int64)
+        jj64 = np.ascontiguousarray(jj, dtype=np.int64)
+        sizes64 = np.ascontiguousarray(sizes, dtype=np.int64)
+        assert uf.parent.dtype == np.int64 and uf.rank.dtype == np.int8
+        out_i = np.empty(m, dtype=np.int64)
+        out_j = np.empty(m, dtype=np.int64)
+        out_d = np.empty(m, dtype=np.float64)
+        ok = np.empty(m, dtype=np.uint8)
+        kept = fn(csr.flat.ctypes.data, csr.offs.ctypes.data,
+                  ii64.ctypes.data, jj64.ctypes.data, m,
+                  sizes64.ctypes.data, ctypes.c_double(threshold),
+                  kmer_size, int(is_containment), uf.parent.ctypes.data,
+                  uf.rank.ctypes.data, out_i.ctypes.data,
+                  out_j.ctypes.data, out_d.ctypes.data, ok.ctypes.data,
+                  os.cpu_count() or 1)
+        return out_i[:kept], out_j[:kept], out_d[:kept], ok.astype(bool)
+    common = csr.count_common(ii, jj)
+    if is_containment:
+        d = aaf_distance(common, sizes[ii], sizes[jj], kmer_size)
+    else:
+        d = mash_distance(common, sizes[ii], sizes[jj], kmer_size)
+    ok = (common > 0) & (d <= threshold)
+    ki, kj, kd = [], [], []
+    for a, b, dd in zip(ii[ok].tolist(), jj[ok].tolist(), d[ok].tolist()):
+        if not uf.connected(a, b):
+            uf.merge(a, b)
+            ki.append(a)
+            kj.append(b)
+            kd.append(dd)
+    return (np.asarray(ki, dtype=np.int64), np.asarray(kj, dtype=np.int64),
+            np.asarray(kd, dtype=np.float64), ok)
+
+
 def _gated_verify_block(uf, csr, sizes, ii, jj, threshold, kmer_size,
                         is_containment, kept_i, kept_j, kept_d,
                         verify_chunk=65536, max_rounds=48):

@@ -69,12 +69,7 @@ from typing import List, Tuple
 import numpy as np
 
 from ..cluster.union_find import UnionFind
-from ..distance.mash import (
-    aaf_distance,
-    mash_distance,
-    min_jaccard_for_threshold,
-    size_ratio_limit,
-)
+from ..distance.mash import min_jaccard_for_threshold, size_ratio_limit
 from . import bitmap as bm
 
 SENT = np.int32(1 << 30)
@@ -84,9 +79,9 @@ SENT = np.int32(1 << 30)
 # compute of the build + round dispatches it waits for — the honest split
 # between device time and host time on an async runtime is pull vs the
 # rest.  reset_lp_stats() zeroes it.
-LP_STATS = {"pack_s": 0.0, "stage_s": 0.0, "pull_s": 0.0, "verify_s": 0.0,
-            "finish_s": 0.0, "total_s": 0.0, "rounds": 0, "panels": 0,
-            "proposals": 0}
+LP_STATS = {"pack_s": 0.0, "stage_s": 0.0, "csr_s": 0.0, "pull_s": 0.0,
+            "verify_s": 0.0, "finish_s": 0.0, "total_s": 0.0, "rounds": 0,
+            "panels": 0, "proposals": 0}
 
 
 def reset_lp_stats() -> None:
@@ -181,15 +176,16 @@ def threshold_clusters_device_lp(
     n = len(hashes)
     if n == 0:
         return []
-    from ..cluster.mst import clusters_from_forest, kruskal
+    from ..cluster.mst import clusters_from_forest, sort_edges
 
     reset_lp_stats()
     t_all = time.perf_counter()
     rb = min(row_block, max(128, 1 << max(n - 1, 1).bit_length()))
     t0 = time.perf_counter()
-    xp, coll = bm.pack_bitmaps_packed(hashes, bits=bits, pad_n_to=rb)
+    # pack + push overlap: chunks transfer while the next chunk packs
+    xd, coll = bm.pack_bitmaps_packed_staged(hashes, bits=bits, pad_n_to=rb)
     LP_STATS["pack_s"] = time.perf_counter() - t0
-    n_pad = xp.shape[0]
+    n_pad = xd.shape[0]
     sizes = np.zeros(n_pad, dtype=np.int32)
     sizes[:n] = [len(h) for h in hashes]
     j_min = min_jaccard_for_threshold(threshold, kmer_size)
@@ -210,7 +206,6 @@ def threshold_clusters_device_lp(
 
     # signatures staged ONCE for every panel build
     t0 = time.perf_counter()
-    xd = jnp.asarray(xp)
     cd = jnp.asarray(coll)
     sd = jnp.asarray(sizes)
     scalars = (jnp.float32(j_min), jnp.float32(1.0 + j_min),
@@ -218,7 +213,7 @@ def threshold_clusters_device_lp(
     LP_STATS["stage_s"] = time.perf_counter() - t0
 
     uf = UnionFind(n)
-    csr = bm.CsrSketches(hashes)
+    csr = None  # built AFTER the first build dispatch (overlaps device)
     sizes64 = sizes.astype(np.int64)
     kept_i: List[int] = []
     kept_j: List[int] = []
@@ -250,6 +245,12 @@ def threshold_clusters_device_lp(
             _counts_dev, packs = build_prog(
                 xd, cd, sd, r0s_d, c0s_d, val_d, *scalars,
                 is_containment, rb)
+            if csr is None:
+                # CSR flattening overlaps the first panel's device filter
+                # sweep (its wall time mostly hides behind pull_s)
+                t0 = time.perf_counter()
+                csr = bm.CsrSketches(hashes)
+                LP_STATS["csr_s"] += time.perf_counter() - t0
             clr = (np.zeros(1024, dtype=np.int32),
                    np.zeros(1024, dtype=np.int32),
                    np.zeros(1024, dtype=np.int32),
@@ -275,35 +276,44 @@ def threshold_clusters_device_lp(
                     converged = True
                     break
                 t0 = time.perf_counter()
+                from .cluster_fast import gated_verify_merge
                 row_p = fused[1:1 + n_pad]
                 col_p = fused[1 + n_pad:]
                 g = np.arange(n_pad, dtype=np.int64)
                 rp = row_p < SENT
                 cp = col_p < SENT
-                ii = np.concatenate([g[rp], col_p[cp].astype(np.int64)])
-                jj = np.concatenate([row_p[rp].astype(np.int64), g[cp]])
-                # dedup (a pair may be proposed by its row and its column)
-                key = ii * n_pad + jj
-                _, sel = np.unique(key, return_index=True)
-                ii, jj = ii[sel], jj[sel]
-                LP_STATS["proposals"] += len(ii)
-                common = csr.count_common(ii, jj)
-                if is_containment:
-                    d = aaf_distance(common, sizes64[ii], sizes64[jj],
-                                     kmer_size)
-                else:
-                    d = mash_distance(common, sizes64[ii], sizes64[jj],
-                                      kmer_size)
-                ok = (common > 0) & (d <= threshold)
-                for a, b, dd in zip(ii[ok].tolist(), jj[ok].tolist(),
-                                    d[ok].tolist()):
-                    if not uf.connected(a, b):
-                        uf.merge(a, b)
-                        kept_i.append(a)
-                        kept_j.append(b)
-                        kept_d.append(dd)
-                # failed pairs -> clear-list for the next dispatch
-                fi, fj = ii[~ok], jj[~ok]
+                # rows first: row proposals star-collapse most components,
+                # after which the re-gate below kills the bulk of the col
+                # proposals (they became same-label) before the exact
+                # verify — ~2x less two-pointer work per round, and the
+                # row/col duplicate pairs dedup themselves via the gate
+                ri, rj = g[rp], row_p[rp].astype(np.int64)
+                LP_STATS["proposals"] += len(ri)
+                ki, kj, kd, ok_r = gated_verify_merge(
+                    uf, csr, sizes64, ri, rj, threshold, kmer_size,
+                    is_containment)
+                kept_i.extend(ki.tolist())
+                kept_j.extend(kj.tolist())
+                kept_d.extend(kd.tolist())
+                ci, cj = col_p[cp].astype(np.int64), g[cp]
+                roots = uf.roots_array()
+                alive = roots[ci] != roots[cj]
+                ci, cj = ci[alive], cj[alive]
+                LP_STATS["proposals"] += len(ci)
+                ki, kj, kd, ok_c = gated_verify_merge(
+                    uf, csr, sizes64, ci, cj, threshold, kmer_size,
+                    is_containment)
+                kept_i.extend(ki.tolist())
+                kept_j.extend(kj.tolist())
+                kept_d.extend(kd.tolist())
+                # failed pairs -> clear-list for the next dispatch; a pair
+                # can fail in BOTH batches (row and col proposed it and the
+                # gate didn't kill it) — dedup, each bit clears at most once
+                fi = np.concatenate([ri[~ok_r], ci[~ok_c]])
+                fj = np.concatenate([rj[~ok_r], cj[~ok_c]])
+                if len(fi):
+                    _, sel = np.unique(fi * n_pad + fj, return_index=True)
+                    fi, fj = fi[sel], fj[sel]
                 clr = _encode_clear(fi, fj, rb, t_off)
                 LP_STATS["verify_s"] += time.perf_counter() - t0
             if not converged:
@@ -313,9 +323,13 @@ def threshold_clusters_device_lp(
             del packs  # free this panel's masks before the next build
 
     t0 = time.perf_counter()
-    forest = kruskal((np.asarray(kept_i, dtype=np.int64),
-                      np.asarray(kept_j, dtype=np.int64),
-                      np.asarray(kept_d, dtype=np.float64)), n)
+    # kept edges are union-find-gated, so they already FORM a spanning
+    # forest: kruskal would keep every one of them, and its only effect is
+    # the (dist, i, j) sort order that clusters_from_forest's BFS adjacency
+    # sees — sort_edges alone is identical and skips the Python UF loop
+    forest = sort_edges((np.asarray(kept_i, dtype=np.int64),
+                         np.asarray(kept_j, dtype=np.int64),
+                         np.asarray(kept_d, dtype=np.float64)))
     out = clusters_from_forest(forest, n)
     LP_STATS["finish_s"] = time.perf_counter() - t0
     LP_STATS["total_s"] = time.perf_counter() - t_all

@@ -39,6 +39,15 @@ g++ $FXFLAGS -D Timer -o "$OUT/clust-mst-fx" $SRCS -lz -lgomp -lpthread
 g++ $FXFLAGS -D Timer -D GREEDY_CLUST -o "$OUT/clust-greedy-fx" $SRCS \
     "$REF/src/greedy.cpp" -lz -lgomp -lpthread
 
+# Leiden graph-construction oracle: leiden.cpp compiled with the
+# non-functional igraph stub ($HERE/igraph.h) + robin_hood stub
+# ($HERE/RabbitSketch/src/robin_hood.h via the -I$HERE fallback for the
+# relative ../RabbitSketch include); only the saved .graph is golden
+g++ $CXXFLAGS -I"$HERE/rs_anchor" -D LEIDEN_CLUST \
+    -o "$OUT/leiden-graph-oracle" \
+    "$HERE/leiden_graph_oracle.cpp" "$REF/src/leiden.cpp" \
+    "$REF/src/SketchInfo.cpp" -lz -lgomp -lpthread
+
 # Benchmark-evaluation tools (benchmark/evaluation/src): precalLabel and
 # mapGenome build as-is; calPurity links groundTruth.cpp; analysisPurity /
 # checkTaxonomyStatus use the boost::split functional stub in boost/.

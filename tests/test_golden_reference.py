@@ -35,6 +35,8 @@ def oracle():
         "greedy-fx": os.path.join(ORACLE_DIR, "clust-greedy-fx"),
         # driver for the latent MinHashDBSCAN engine (dbscan.cpp:987)
         "mh-dbscan": os.path.join(ORACLE_DIR, "minhash-dbscan-oracle"),
+        # leiden graph-construction stage (igraph stubbed; .graph only)
+        "leiden-graph": os.path.join(ORACLE_DIR, "leiden-graph-oracle"),
     }
     if not all(os.path.exists(p) for p in tools.values()):
         if not os.path.exists("/root/reference/src/main.cpp"):
@@ -736,3 +738,101 @@ def test_minhash_state_and_repdb_interop(oracle, genomes, tmp_path):
                                str(app_list), "-l", "-o", "q2.tsv",
                                "--top-k", "3"], d)
     assert same_bytes(os.path.join(d, "q1.tsv"), os.path.join(d, "q2.tsv"))
+
+
+def _parse_graph(path):
+    """(header_line, sorted [(from, to, weight)]) of a saved .graph file.
+    Edge ORDER is canonicalized: the reference emits edges in hash-map
+    iteration order (a robin-hood artifact, std::unordered_map in the
+    oracle build), ours in native pair-engine order — both orders are
+    non-semantic, like the kssd.sketch.dict posting order (PARITY.md)."""
+    with open(path) as f:
+        header = f.readline()
+        edges = []
+        for line in f:
+            a, b, w = line.split()
+            edges.append((int(a), int(b), float(w)))
+    return header, sorted(edges)
+
+
+def test_leiden_graph_byte_identical(oracle, tmp_path):
+    """The Leiden similarity-graph construction stage (leiden.cpp:168-293)
+    + save_graph_to_file format (leiden.cpp:474-492) vs the compiled
+    reference code (igraph stubbed — graph build and .graph save run the
+    reference's own loops).  Standard and k-NN modes.  The corpus uses
+    150kb genomes (~35-hash sketches at drlevel 3 — the reference's graph
+    stage is 32-bit-only, so drlevel must stay >= 3 at k=21) with per-
+    member mutation rates and length jitter so distances at the k-NN cut
+    are distinct — at a TIED cut the reference's pick is a hash-map
+    iteration artifact (priority_queue + strict <, leiden.cpp:216-223)
+    that nothing can replicate, while ours is canonical (neighbor id
+    ascending)."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    B = np.frombuffer(b"ACGT", dtype=np.uint8)
+    files = []
+    # per_cluster=16 -> in-cluster degree 15 > knn=12, so the k-NN cap
+    # BINDS (both CLIs bump knn<10 to 50, so the oracle gets >=10)
+    for c in range(3):
+        L = 150000
+        base = rng.integers(0, 4, size=L, dtype=np.uint8)
+        for m in range(16):
+            gg = base.copy()
+            mut = rng.random(L) < (0.008 + 0.0015 * m)
+            gg[mut] = rng.integers(0, 4, size=int(mut.sum()),
+                                   dtype=np.uint8)
+            gl = L - int(rng.integers(0, 50000))
+            seq = B[gg[:gl]].tobytes()
+            fp = tmp_path / f"lg{c}_{m:02d}.fna"
+            with open(fp, "wb") as f:
+                f.write(b">lg%d_%02d cluster%d\n" % (c, m, c))
+                for k in range(0, gl, 80):
+                    f.write(seq[k:k + 80] + b"\n")
+            files.append(str(fp))
+    list_file = tmp_path / "list.txt"
+    list_file.write_text("\n".join(files) + "\n")
+    for knn in (0, 12):
+        ref_graph = tmp_path / f"ref_{knn}.graph"
+        r = subprocess.run([oracle["leiden-graph"], str(list_file),
+                            str(ref_graph), "0.05", "21", "3", str(knn)],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-1500:]
+        our_d = tmp_path / f"our_{knn}"
+        our_d.mkdir()
+        run_ours("clust_leiden",
+                 ["--fast", "-l", "-i", str(list_file), "-o", "o.cluster",
+                  "-d", "0.05", "-k", "21",
+                  "--knn", str(knn) if knn else "0"], str(our_d))
+        our_graph = os.path.join(_run_folder(str(our_d)), "leiden.graph")
+        ref_h, ref_e = _parse_graph(str(ref_graph))
+        our_h, our_e = _parse_graph(our_graph)
+        assert ref_h == our_h, f"knn={knn}: header differs"
+        if knn == 0:
+            # standard mode: exact edge identity + weights
+            assert [(a, b) for a, b, _ in ref_e] == \
+                [(a, b) for a, b, _ in our_e], "edge set differs"
+            for (ra, rb, rw), (oa, ob, ow) in zip(ref_e, our_e):
+                assert abs(rw - ow) < 1e-12, (ra, rb, rw, ow)
+        else:
+            # k-NN mode: EXACT per-node kept-weight multisets and exact
+            # identity for edges strictly inside the cut; edge IDENTITY at
+            # a tied cut is unreplicable by construction (the reference's
+            # pick there is a priority_queue + hash-map-order artifact,
+            # leiden.cpp:216-223; ours is canonical neighbor-id order)
+            from collections import defaultdict
+            rm, om = defaultdict(list), defaultdict(list)
+            for a, b, w in ref_e:
+                rm[a].append((w, b))
+            for a, b, w in our_e:
+                om[a].append((w, b))
+            assert set(rm) == set(om), "per-node coverage differs"
+            for a in rm:
+                rw = sorted(w for w, _ in rm[a])
+                ow = sorted(w for w, _ in om[a])
+                assert len(rw) == len(ow), a
+                assert all(abs(x - y) < 1e-12
+                           for x, y in zip(rw, ow)), a
+                cut_r, cut_o = rw[0], ow[0]
+                strict_r = {b for w, b in rm[a] if w > cut_r + 1e-12}
+                strict_o = {b for w, b in om[a] if w > cut_o + 1e-12}
+                assert strict_r == strict_o, a

@@ -240,3 +240,35 @@ def test_leiden_communities_internally_connected():
                 uf.merge(a, b)
         roots = {uf.find(int(x)) for x in nodes}
         assert len(roots) == 1, f"community {c} not internally connected"
+
+
+def test_leiden_nmi_on_planted_communities():
+    """External quality anchor for the own-implementation community
+    detection (the reference delegates to igraph, leiden.cpp:337-400,
+    which cannot be built here): on simulated ground-truth corpora with
+    well-separated planted communities, both Leiden and Louvain must
+    recover the planted partition at NMI >= 0.99."""
+    import numpy as np
+    from sklearn.metrics import normalized_mutual_info_score
+    from rabbittclust_tpu.cluster.leiden import community_clusters
+
+    rng = np.random.default_rng(5)
+    n_comm, per = 10, 24
+    hashes, truth = [], []
+    for c in range(n_comm):
+        base = np.unique(rng.integers(0, 2 ** 31, size=260).astype(
+            np.uint32))
+        for _ in range(per):
+            keep = base[rng.random(len(base)) < 0.85]
+            extra = np.unique(rng.integers(
+                0, 2 ** 31, size=300 - len(keep)).astype(np.uint32))
+            hashes.append(np.unique(np.concatenate([keep, extra])))
+            truth.append(c)
+    for use_leiden in (True, False):
+        clusters = community_clusters(hashes, 0.05, 21,
+                                      use_leiden=use_leiden)
+        labels = np.empty(len(hashes), dtype=np.int64)
+        for ci, mem in enumerate(clusters):
+            labels[mem] = ci
+        nmi = normalized_mutual_info_score(truth, labels)
+        assert nmi >= 0.99, (use_leiden, nmi, len(clusters))
