@@ -19,6 +19,7 @@ an N-device mesh; ``distributed_candidate_counts`` runs the full ring.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
@@ -606,4 +607,298 @@ def distributed_threshold_clusters(hashes, threshold: float, kmer_size: int,
     forest = kruskal((np.asarray(kept_i, dtype=np.int64),
                       np.asarray(kept_j, dtype=np.int64),
                       np.asarray(kept_d, dtype=np.float64)), n)
+    return clusters_from_forest(forest, n)
+
+
+# ---------------------------------------------------------------------------
+# Distributed label propagation — the bench headline engine on a mesh.
+# Masks stay RESIDENT per device (the single-chip ops/labelprop.py design,
+# sharded: each device holds its triangular-schedule mask slab, N^2/8/D
+# bytes), Boruvka rounds pull O(N) proposals; collectives (ppermute for the
+# build ring, pmin/psum for proposal merging) ride ICI.
+
+def build_ring_masks_fn(jmin_num: float, jmin_den: float, c_min: float,
+                        radio: int, is_containment: bool):
+    """shard_map-able build: one ring sweep computing the RESIDENT packed
+    candidate masks for the triangular schedule — per device a
+    (n_steps, shard, shard//8) slab covering every unordered pair exactly
+    once (ownership as _ownership_mask).  Same deterministic
+    no-false-negative bound as build_ring_bitmap_fn."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops.bitmap import _unpack_bits_device, pack_mask_u8
+
+    def fn(xp, coll, sizes, row_ids):
+        n_dev = jax.lax.axis_size("data")
+        rows_bits = _unpack_bits_device(xp)
+
+        def step(carry, t):
+            vxp, vcoll, vsizes, vis_ids = carry
+            vbits = _unpack_bits_device(vxp)
+            shared = jax.lax.dot_general(
+                rows_bits, vbits, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            si_c = sizes[:, None].astype(jnp.float32)
+            s_c = vsizes[None, :].astype(jnp.float32)
+            if is_containment:
+                common_min = jnp.floor(
+                    c_min * jnp.minimum(si_c, s_c)).astype(jnp.int32) - 1
+            else:
+                common_min = jnp.floor(
+                    jmin_num * (si_c + s_c) / jmin_den).astype(jnp.int32) - 1
+            thresh = common_min - jnp.minimum(coll[:, None], vcoll[None, :])
+            mni = jnp.minimum(sizes[:, None], vsizes[None, :])
+            mxi = jnp.maximum(sizes[:, None], vsizes[None, :])
+            ok = (shared >= thresh) & (mni > 0)
+            if radio:  # 0 = no size-ratio gate
+                ok &= (mxi <= radio * mni)
+            ok &= _ownership_mask(t, n_dev, row_ids, vis_ids)
+            perm = [(k, (k + 1) % n_dev) for k in range(n_dev)]
+            vxp = jax.lax.ppermute(vxp, "data", perm)
+            vcoll = jax.lax.ppermute(vcoll, "data", perm)
+            vsizes = jax.lax.ppermute(vsizes, "data", perm)
+            vis_ids = jax.lax.ppermute(vis_ids, "data", perm)
+            return (vxp, vcoll, vsizes, vis_ids), pack_mask_u8(ok)
+
+        init = (xp, coll, sizes, row_ids)
+        _, masks = jax.lax.scan(
+            step, init, jnp.arange(_n_ring_steps(n_dev), dtype=jnp.int32))
+        return masks  # (n_steps, shard, shard//8)
+
+    return fn
+
+
+def dist_lp_round_fn(masks, labels, clr_t, clr_r, clr_b, clr_sub):
+    """shard_map-able Boruvka round over the resident mask slabs.
+
+    masks: per-device (n_steps, shard, shard//8), donated; labels: global
+    (n_pad,) replicated; clr_*: per-device clear lists (step, local row,
+    byte, bit value).  Returns (new_masks, row_p sharded (n_pad,),
+    fused replicated [cross, col_p (n_pad,)])."""
+    import jax
+    import jax.numpy as jnp
+    from ..ops.labelprop import SENT
+
+    n_dev = jax.lax.axis_size("data")
+    d = jax.lax.axis_index("data")
+    n_steps, shard, _ = masks.shape
+    n_pad = labels.shape[0]
+    masks = masks.at[clr_t, clr_r, clr_b].add(-clr_sub)
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    iota = jax.lax.iota(jnp.int32, shard)
+    lr = jax.lax.dynamic_slice(labels, (d * shard,), (shard,))
+
+    def step(carry, xs):
+        col_p, row_p, cross = carry
+        pk, t = xs
+        b = (d - t) % n_dev
+        bits = ((pk[:, :, None] >> shifts[None, None, :]) & jnp.uint8(1))
+        m = bits.reshape(shard, shard).astype(jnp.bool_)
+        lc = jax.lax.dynamic_slice(labels, (b * shard,), (shard,))
+        m = m & (lr[:, None] != lc[None, :])
+        cross = cross + jnp.sum(m, dtype=jnp.int32)
+        colv = jnp.where(m, iota[None, :] + b * shard, SENT)
+        rowv = jnp.where(m, iota[:, None] + d * shard, SENT)
+        row_p = jnp.minimum(row_p, jnp.min(colv, axis=1))
+        cmin = jnp.min(rowv, axis=0)
+        cur = jax.lax.dynamic_slice(col_p, (b * shard,), (shard,))
+        col_p = jax.lax.dynamic_update_slice(
+            col_p, jnp.minimum(cur, cmin), (b * shard,))
+        return (col_p, row_p, cross), None
+
+    init = (jnp.full((n_pad,), SENT, dtype=jnp.int32),
+            jnp.full((shard,), SENT, dtype=jnp.int32), jnp.int32(0))
+    (col_p, row_p, cross), _ = jax.lax.scan(
+        step, init, (masks, jnp.arange(n_steps, dtype=jnp.int32)))
+    col_p = jax.lax.pmin(col_p, "data")
+    cross = jax.lax.psum(cross, "data")
+    fused = jnp.concatenate([cross[None], col_p])
+    return masks, row_p, fused
+
+
+def _dist_lp_clear(fi, fj, shard: int, n_dev: int, n_steps: int):
+    """Host-side clear-list encode for the mesh slabs: pair (i > j) ->
+    (device, step, local row, byte, bit) under the triangular ownership
+    rule (mirrors _ownership_mask; each bit exists on exactly one
+    device/step).  Returns (D*C,) arrays, C ladder-padded per device."""
+    from ..ops.labelprop import _clear_quantum
+
+    a = fi // shard
+    b = fj // shard
+    t_ab = (a - b) % n_dev
+    own_a = t_ab < n_steps
+    dev = np.where(own_a, a, b)
+    stp = np.where(own_a, t_ab, (b - a) % n_dev)
+    row = np.where(own_a, fi % shard, fj % shard)
+    col = np.where(own_a, fj % shard, fi % shard)
+    per_dev = np.bincount(dev, minlength=n_dev) if len(dev) else \
+        np.zeros(n_dev, dtype=np.int64)
+    cap = _clear_quantum(int(per_dev.max()) if len(dev) else 0)
+    ct = np.zeros((n_dev, cap), dtype=np.int32)
+    cr = np.zeros((n_dev, cap), dtype=np.int32)
+    cb = np.zeros((n_dev, cap), dtype=np.int32)
+    cs = np.zeros((n_dev, cap), dtype=np.uint8)
+    fill = np.zeros(n_dev, dtype=np.int64)
+    for k in range(len(dev)):
+        dv = int(dev[k])
+        p = fill[dv]
+        fill[dv] += 1
+        ct[dv, p] = stp[k]
+        cr[dv, p] = row[k]
+        cb[dv, p] = col[k] // 8
+        cs[dv, p] = 1 << (col[k] % 8)
+    return (ct.reshape(-1), cr.reshape(-1), cb.reshape(-1),
+            cs.reshape(-1), cap)
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_dist_lp(mesh, jmin_num: float, jmin_den: float,
+                    c_min: float, radio: int, is_containment: bool):
+    """(build, round) jitted shard_map programs, cached per (mesh, bound)
+    so repeat calls reuse the in-memory trace (jax Mesh is hashable)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    build = jax.jit(jax.shard_map(
+        build_ring_masks_fn(jmin_num, jmin_den, c_min, radio,
+                            is_containment),
+        mesh=mesh, in_specs=(P("data"),) * 4, out_specs=P("data"),
+        check_vma=False))
+    rnd = jax.jit(jax.shard_map(
+        dist_lp_round_fn, mesh=mesh,
+        in_specs=(P("data"), P(), P("data"), P("data"), P("data"),
+                  P("data")),
+        out_specs=(P("data"), P("data"), P()), check_vma=False),
+        donate_argnums=(0,))
+    return build, rnd
+
+
+def distributed_threshold_clusters_lp(hashes, threshold: float,
+                                      kmer_size: int,
+                                      is_containment: bool = False,
+                                      mesh=None, bits: int = 8192,
+                                      max_rounds: int = 256):
+    """Exact single-linkage clusters over the mesh via resident-mask label
+    propagation — the distributed twin of the bench headline engine
+    (ops.labelprop.threshold_clusters_device_lp).  Per-device HBM is
+    N^2/8/n_dev mask bytes (the mesh IS the panel streaming: 8 chips hold
+    1M genomes' masks at ~8.7 GB each); per-round host traffic is O(N).
+    Exactness: the same argument as the single-chip engine — the slabs
+    jointly hold every unordered pair exactly once (triangular ownership),
+    rounds only retire pairs by verified merge, verified clear, or
+    same-label gating."""
+    import math
+    import jax.numpy as jnp
+    from ..cluster.mst import clusters_from_forest, sort_edges
+    from ..cluster.union_find import UnionFind
+    from ..distance.mash import min_jaccard_for_threshold, size_ratio_limit
+    from ..ops import bitmap as bm
+    from ..ops.cluster_fast import gated_verify_merge
+    from ..ops.labelprop import SENT, _clear_quantum
+
+    n = len(hashes)
+    if n == 0:
+        return []
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = int(mesh.devices.size)
+    n_steps = _n_ring_steps(n_dev)
+    # shard rows must divide by 8 (bit-packed mask columns) — 128 also
+    # aligns the TPU lane dimension
+    xp, coll = bm.pack_bitmaps_packed(hashes, bits=bits,
+                                      pad_n_to=n_dev * 128)
+    n_pad = xp.shape[0]
+    shard = n_pad // n_dev
+    sizes = np.zeros(n_pad, dtype=np.int32)
+    sizes[:n] = [len(h) for h in hashes]
+    row_ids = np.arange(n_pad, dtype=np.int32)
+    j_min = min_jaccard_for_threshold(threshold, kmer_size)
+    c_min = math.exp(-threshold * kmer_size)
+    radio = size_ratio_limit(threshold, kmer_size - 1)
+    build, rnd = _jitted_dist_lp(
+        mesh, j_min, 1.0 + j_min, c_min, radio, is_containment)
+
+    masks = build(jnp.asarray(xp), jnp.asarray(coll), jnp.asarray(sizes),
+                  jnp.asarray(row_ids))
+    uf = UnionFind(n)
+    csr = bm.CsrSketches(hashes)
+    sizes64 = sizes.astype(np.int64)
+    kept_i: list = []
+    kept_j: list = []
+    kept_d: list = []
+
+    def labels_arr():
+        roots = np.full(n_pad, -1, dtype=np.int32)
+        roots[:n] = uf.roots_array()[:n]
+        roots[n:] = n + np.arange(n_pad - n, dtype=np.int32)
+        return roots
+
+    cap = _clear_quantum(0)
+    clr = (np.zeros(n_dev * cap, dtype=np.int32),
+           np.zeros(n_dev * cap, dtype=np.int32),
+           np.zeros(n_dev * cap, dtype=np.int32),
+           np.zeros(n_dev * cap, dtype=np.uint8))
+    rounds = 0
+    g = np.arange(n_pad, dtype=np.int64)
+    while rounds < max_rounds:
+        rounds += 1
+        masks, row_p_dev, fused_dev = rnd(
+            masks, jnp.asarray(labels_arr()), jnp.asarray(clr[0]),
+            jnp.asarray(clr[1]), jnp.asarray(clr[2]), jnp.asarray(clr[3]))
+        row_p = np.asarray(row_p_dev)
+        fused = np.asarray(fused_dev)
+        bm._account_pull(row_p.nbytes + fused.nbytes)
+        cross = int(fused[0])
+        if cross == 0:
+            break
+        col_p = fused[1:]
+        rp = row_p < SENT
+        ri, rj = g[rp], row_p[rp].astype(np.int64)
+        ki, kj, kd, ok_r = gated_verify_merge(
+            uf, csr, sizes64, ri, rj, threshold, kmer_size, is_containment)
+        kept_i.extend(ki.tolist())
+        kept_j.extend(kj.tolist())
+        kept_d.extend(kd.tolist())
+        cp = col_p < SENT
+        ci, cj = col_p[cp].astype(np.int64), g[cp]
+        roots = uf.roots_array()
+        alive = roots[ci] != roots[cj]
+        ci, cj = ci[alive], cj[alive]
+        ki, kj, kd, ok_c = gated_verify_merge(
+            uf, csr, sizes64, ci, cj, threshold, kmer_size, is_containment)
+        kept_i.extend(ki.tolist())
+        kept_j.extend(kj.tolist())
+        kept_d.extend(kd.tolist())
+        fi = np.concatenate([ri[~ok_r], ci[~ok_c]])
+        fj = np.concatenate([rj[~ok_r], cj[~ok_c]])
+        if len(fi):
+            _, sel = np.unique(fi * n_pad + fj, return_index=True)
+            fi, fj = fi[sel], fj[sel]
+        ct, cr, cb, cs, _cap = _dist_lp_clear(fi, fj, shard, n_dev, n_steps)
+        clr = (ct, cr, cb, cs)
+    else:
+        # pathological-input fallback (single-chip _lp_fallback twin):
+        # pull the remaining slabs once and finish with the gated host
+        # verifier — exact, just no longer O(N)-pull
+        from ..ops.cluster_fast import _gated_verify_block
+        mk = np.asarray(masks)
+        for dv in range(n_dev):
+            for t in range(n_steps):
+                slab = mk[dv * n_steps + t]
+                bits2d = np.unpackbits(slab, axis=1, bitorder="little")
+                il, jl = np.nonzero(bits2d)
+                ii = il.astype(np.int64) + dv * shard
+                jj = jl.astype(np.int64) + ((dv - t) % n_dev) * shard
+                ii, jj = np.maximum(ii, jj), np.minimum(ii, jj)
+                inb = (ii < n) & (jj < n)
+                ii, jj = ii[inb], jj[inb]
+                roots = uf.roots_array()
+                keep = roots[ii] != roots[jj]
+                _gated_verify_block(uf, csr, sizes64, ii[keep], jj[keep],
+                                    threshold, kmer_size, is_containment,
+                                    kept_i, kept_j, kept_d)
+
+    forest = sort_edges((np.asarray(kept_i, dtype=np.int64),
+                         np.asarray(kept_j, dtype=np.int64),
+                         np.asarray(kept_d, dtype=np.float64)))
     return clusters_from_forest(forest, n)

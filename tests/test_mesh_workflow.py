@@ -95,3 +95,60 @@ def test_mst_free_clusters_fast_path(sketchset, monkeypatch, tmp_path):
     import re
     ids = [int(m) for m in re.findall(r"\n\t\s*\d+\t\s*(\d+)\t", text)]
     assert sorted(ids) == list(range(len(ss)))
+
+
+def test_distributed_labelprop_matches_host():
+    """Mesh resident-mask labelprop (the bench headline engine,
+    distributed): partition equals the single-host MST-cut partition on
+    the 8-device CPU mesh, including verify-fail clear-lists routed to the
+    correct (device, step) slab."""
+    import numpy as np
+    from rabbittclust_tpu.cluster.mst import (
+        clusters_from_forest, compute_mst, cut_forest)
+    from rabbittclust_tpu.parallel.dist_engine import (
+        distributed_threshold_clusters_lp, make_mesh)
+
+    rng = np.random.default_rng(21)
+    bases = [np.unique(rng.integers(0, 2 ** 29, size=150).astype(np.uint32))
+             for _ in range(11)]
+    hashes = []
+    for i in range(420):
+        b = bases[i % 11]
+        keep = b[rng.random(len(b)) < 0.8]
+        extra = np.unique(rng.integers(
+            0, 2 ** 29, size=170 - len(keep)).astype(np.uint32))
+        hashes.append(np.unique(np.concatenate([keep, extra])))
+    mesh = make_mesh()
+    got = distributed_threshold_clusters_lp(hashes, 0.05, 21, mesh=mesh,
+                                            bits=2048)
+    res = compute_mst(hashes, 0.05, 21)
+    expect = clusters_from_forest(cut_forest(res.mst, 0.05), len(hashes))
+    assert sorted(map(tuple, map(sorted, got))) == \
+        sorted(map(tuple, map(sorted, expect)))
+
+
+def test_distributed_labelprop_false_positive_clears():
+    """Tiny signature space floods the mesh filter with false positives:
+    the per-device clear-list routing must retire them (several rounds)."""
+    import numpy as np
+    from rabbittclust_tpu.cluster.mst import (
+        clusters_from_forest, compute_mst, cut_forest)
+    from rabbittclust_tpu.parallel.dist_engine import (
+        distributed_threshold_clusters_lp, make_mesh)
+
+    rng = np.random.default_rng(9)
+    bases = [np.unique(rng.integers(0, 2 ** 29, size=60).astype(np.uint32))
+             for _ in range(8)]
+    hashes = []
+    for i in range(160):
+        b = bases[i % 8]
+        keep = b[rng.random(len(b)) < 0.8]
+        extra = np.unique(rng.integers(
+            0, 2 ** 29, size=70 - len(keep)).astype(np.uint32))
+        hashes.append(np.unique(np.concatenate([keep, extra])))
+    got = distributed_threshold_clusters_lp(hashes, 0.05, 21,
+                                            mesh=make_mesh(), bits=128)
+    res = compute_mst(hashes, 0.05, 21)
+    expect = clusters_from_forest(cut_forest(res.mst, 0.05), len(hashes))
+    assert sorted(map(tuple, map(sorted, got))) == \
+        sorted(map(tuple, map(sorted, expect)))
