@@ -411,7 +411,10 @@ def greedy_cluster_device(
         inv = [hashes[i] for i in order]
 
     if conflict == "serial" and \
-            os.environ.get("RTC_GREEDY_DEVICE", "sweep") == "sweep":
+            os.environ.get("RTC_GREEDY_DEVICE", "sweep") != "batchloop":
+        # every value except the legacy "batchloop" A/B mode selects the
+        # single-sweep engine ("sweep"/"force"/"auto"; the workflow layer
+        # interprets "auto"/"native" BEFORE calling here)
         sizes = np.array([len(h) for h in inv], dtype=np.int64)
         rep_order, members = _greedy_serial_sweep(
             inv, sizes, threshold, kmer_size, is_containment, bits)

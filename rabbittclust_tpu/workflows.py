@@ -327,14 +327,27 @@ def compute_kssd_clusters(ss: SketchSet, p: KssdParams, threshold: float,
     if module == "greedy":
         order = ss.kssd_greedy_order()
         ss2 = ss.reorder(order)
-        if opts.use_device:
-            # MXU batch-vs-reps candidate generation; semantics of the
-            # reference's batched greedy (greedy.cpp:1412-1543) — exact
-            # distances, conflicts resolved distance-descending
-            from .ops.greedy_device import greedy_cluster_device
-            gres = greedy_cluster_device(ss2.hashes, threshold, p.kmer_size,
-                                         presorted=True,
-                                         is_containment=False)
+        if opts.use_device and os.environ.get(
+                "RTC_GREEDY_DEVICE", "auto") != "native":
+            # auto-crossover: on this link the device sweep's mask pulls
+            # make it slower than the native engine at every measured
+            # shape (A/B: scripts/device_greedy_bench.py --table — 16k
+            # dense 2.4 s vs 0.9, 32k dense 7.7 vs 1.9, sparse similar),
+            # so --device routes greedy to native unless the sweep is
+            # forced; both are bit-exact, only speed differs
+            if os.environ.get("RTC_GREEDY_DEVICE", "auto") in (
+                    "force", "batchloop"):
+                from .ops.greedy_device import greedy_cluster_device
+                gres = greedy_cluster_device(
+                    ss2.hashes, threshold, p.kmer_size, presorted=True,
+                    is_containment=False)
+            else:
+                log("-----device greedy: routing to the native engine "
+                    "(faster at every measured shape on this link; "
+                    "RTC_GREEDY_DEVICE=force overrides)")
+                gres = greedy_cluster(ss2.hashes, threshold, p.kmer_size,
+                                      presorted=True, is_containment=False,
+                                      progress=True)
         else:
             gres = greedy_cluster(ss2.hashes, threshold, p.kmer_size,
                                   presorted=True, is_containment=False,
