@@ -30,8 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=32768)
-    ap.add_argument("--s", type=int, default=1000)
+    ap.add_argument("--n", type=int, default=65536)
+    # sketch/signature sizing: bits must be selective for s^2 (the MXU
+    # bound is useless when E[random shared] ~ s^2/bits approaches
+    # common_min) — s=120 keeps bits=2048 selective AND the CPU-simulated
+    # matmuls affordable; production TPU runs use s=1000/bits=8192
+    ap.add_argument("--s", type=int, default=120)
     ap.add_argument("--bits", type=int, default=2048)
     ap.add_argument("--devices", default="1,2,4,8")
     args = ap.parse_args()
@@ -77,7 +81,13 @@ def main() -> int:
             "pulls": bm.PULL_STATS["pulls"],
         })
         print(f"-----{nd} devices: warm {t_warm:.2f} s, "
-              f"{len(clusters)} clusters", file=sys.stderr)
+              f"{len(clusters)} clusters", file=sys.stderr, flush=True)
+        # append incrementally: a timeout must not lose completed rows
+        os.makedirs(".cache", exist_ok=True)
+        with open(".cache/mesh_lp_bench.jsonl", "a") as fp:
+            fp.write(json.dumps({"partial_row": rows[-1],
+                                 "n_genomes": args.n,
+                                 "bits": args.bits}) + "\n")
     out = {
         "metric": "mesh_labelprop_scaling",
         "n_genomes": args.n,
