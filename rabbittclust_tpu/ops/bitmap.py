@@ -98,14 +98,17 @@ def pack_bitmaps_packed(hashes: List[np.ndarray], bits: int = 8192,
 
 
 def pack_bitmaps_packed_staged(hashes: List[np.ndarray], bits: int = 8192,
-                               pad_n_to: int = 128, chunk: int = 16384):
+                               pad_n_to: int = 128, chunk: int = 65536):
     """Bit-pack AND stage the signatures to the device with pack/transfer
     overlap: each row chunk is packed natively (ctypes releases the GIL)
     while the previous chunk's ``jax.device_put`` transfer is in flight —
     on the tunnel-attached dev TPU the ~1.5 s pack and the ~1.5 s 134 MB
     push at N=131072 collapse to ~max of the two.  Returns
     (xd device uint8 (n_pad, bits//8), collisions int32 host (n_pad,)).
-    Bit layout identical to pack_bitmaps_packed."""
+    Bit layout identical to pack_bitmaps_packed.  Chunks are 64 MB at the
+    default bits: this backend's device_put pays a ~1-2 s fixed sync per
+    call, so many small chunks are poison (measured at N=1M: 64x16 MB
+    chunks cost 146 s; 16x64 MB ~40 s)."""
     import jax
     import jax.numpy as jnp
 

@@ -657,3 +657,21 @@ def test_exact_ring_cap_autoregrow(synthetic_genomes):
     ed = sorted((min(a, b), max(a, b)) for a, b in zip(*res_d.mst[:2]))
     eh = sorted((min(a, b), max(a, b)) for a, b in zip(*res_h.mst[:2]))
     assert ed == eh
+
+
+def test_staged_pack_matches_host_pack():
+    """pack_bitmaps_packed_staged (chunked pack + device_put overlap) must
+    produce the identical bit layout and collision counts as the host
+    pack, across chunk boundaries and tail padding."""
+    import numpy as np
+    from rabbittclust_tpu.ops.bitmap import (
+        pack_bitmaps_packed, pack_bitmaps_packed_staged)
+
+    rng = np.random.default_rng(4)
+    hashes = [np.unique(rng.integers(0, 2 ** 30, size=rng.integers(5, 90))
+                        .astype(np.uint32)) for _ in range(301)]
+    xp, coll = pack_bitmaps_packed(hashes, bits=1024, pad_n_to=64)
+    xd, coll2 = pack_bitmaps_packed_staged(hashes, bits=1024, pad_n_to=64,
+                                           chunk=128)
+    assert np.array_equal(np.asarray(xd), xp)
+    assert np.array_equal(coll2, coll)
