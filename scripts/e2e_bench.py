@@ -89,6 +89,10 @@ def parse_cluster_sets(path):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-genomes", type=int, default=10000)
+    ap.add_argument("--genome-len", type=int, default=100000,
+                    help="per-genome length; 100kb makes ingest+sketch a "
+                    "real workload (1 GB FASTA at 10k genomes) instead of "
+                    "interpreter-startup noise")
     ap.add_argument("--drlevel", type=int, default=2)
     ap.add_argument("--threads", type=int, default=2)
     ap.add_argument("--device", action="store_true",
@@ -103,7 +107,7 @@ def main() -> int:
 
     root = tempfile.mkdtemp(prefix="e2e_bench_")
     t0 = time.perf_counter()
-    lst = gen_corpus(root, args.n_genomes)
+    lst = gen_corpus(root, args.n_genomes, genome_len=args.genome_len)
     print(f"-----corpus: {args.n_genomes} genomes in "
           f"{time.perf_counter() - t0:.1f} s", file=sys.stderr)
 
@@ -112,10 +116,12 @@ def main() -> int:
     os.makedirs(ref_d)
     os.makedirs(our_d)
     t0 = time.perf_counter()
+    # no --no-save: the reference's clust-mst writes the sketch index
+    # regardless and ERRORS without a run folder (transSketchesFromIndex)
+    # — both sides run the default saving workflow
     r = subprocess.run([ORACLE, "--fast", "-l", "-i", lst, "-o",
                         "r.cluster", "-d", "0.05", "--drlevel",
-                        str(args.drlevel), "-t", str(args.threads),
-                        "--no-save"],
+                        str(args.drlevel), "-t", str(args.threads)],
                        cwd=ref_d, capture_output=True, text=True)
     t_ref = time.perf_counter() - t0
     assert r.returncode == 0, r.stderr[-2000:]
@@ -124,11 +130,13 @@ def main() -> int:
     env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
     cmd = [sys.executable, "-m", "rabbittclust_tpu.cli.clust_mst", "--fast",
            "-l", "-i", lst, "-o", "o.cluster", "-d", "0.05", "--drlevel",
-           str(args.drlevel), "-t", str(args.threads), "--no-save", "-e"]
+           str(args.drlevel), "-t", str(args.threads)]
     if args.device:
+        # the lp fast path requires clusters-only -e --no-save mode; the
+        # skipped sketch save is milliseconds at this corpus size
         env["RTC_MST_CLUSTERS_FAST"] = "1"
         env["RTC_CLUSTER_ENGINE"] = "lp"
-        cmd.append("--device")
+        cmd.extend(["--device", "-e"])
     t0 = time.perf_counter()
     r = subprocess.run(cmd, cwd=our_d, capture_output=True, text=True,
                        env=env)
@@ -141,6 +149,7 @@ def main() -> int:
     out = {
         "metric": "end_to_end_fasta_to_clusters",
         "n_genomes": args.n_genomes,
+        "genome_len": args.genome_len,
         "drlevel": args.drlevel,
         "threads": args.threads,
         "t_reference_s": round(t_ref, 1),
