@@ -320,6 +320,32 @@ def clust_from_genome_fast(input_file: str, output_file: str,
                                  is_containment, opts, folder, module)
 
 
+def _greedy_corpus_is_dense(hashes, threshold: float, kmer_size: int,
+                            probe_n: int = 1024,
+                            degree_cut: float = 10.0) -> bool:
+    """Candidate-density probe for the --device greedy crossover: exact
+    candidate pairs (greedy accept bound) among the ``probe_n`` largest
+    genomes via the native pair engine; dense iff the average per-genome
+    candidate degree exceeds ``degree_cut``.  Measured anchors
+    (device_greedy_ab.json): 'dense' corpora probe ~100, 'sparse' ~1.
+    Small corpora (< 16384) always count as dense — fixed device costs
+    dominate there regardless of density."""
+    from .distance.mash import min_jaccard_for_threshold
+    from .cluster.mst import native_pair_counts
+
+    n = len(hashes)
+    if n < 16384:
+        return True
+    m = min(probe_n, n)
+    sub = hashes[:m]  # size-sorted corpus: the sweep's own first tile
+    j_min = min_jaccard_for_threshold(threshold, kmer_size)
+    nat = native_pair_counts(sub, j_min=j_min * (1.0 - 1e-9), ratio2=2)
+    if nat is None:  # no native lib: stay on the measured-safe default
+        return True
+    pairs = len(nat[0])
+    return (2.0 * pairs / m) >= degree_cut
+
+
 def compute_kssd_clusters(ss: SketchSet, p: KssdParams, threshold: float,
                           threads: int, output_file: str,
                           is_containment: bool, opts: OutputOptions,
@@ -327,27 +353,30 @@ def compute_kssd_clusters(ss: SketchSet, p: KssdParams, threshold: float,
     if module == "greedy":
         order = ss.kssd_greedy_order()
         ss2 = ss.reorder(order)
-        if opts.use_device and os.environ.get(
-                "RTC_GREEDY_DEVICE", "auto") != "native":
-            # auto-crossover: on this link the device sweep's mask pulls
-            # make it slower than the native engine at every measured
-            # shape (A/B: scripts/device_greedy_bench.py --table — 16k
-            # dense 2.4 s vs 0.9, 32k dense 7.7 vs 1.9, sparse similar),
-            # so --device routes greedy to native unless the sweep is
-            # forced; both are bit-exact, only speed differs
-            if os.environ.get("RTC_GREEDY_DEVICE", "auto") in (
-                    "force", "batchloop"):
-                from .ops.greedy_device import greedy_cluster_device
-                gres = greedy_cluster_device(
-                    ss2.hashes, threshold, p.kmer_size, presorted=True,
-                    is_containment=False)
-            else:
-                log("-----device greedy: routing to the native engine "
-                    "(faster at every measured shape on this link; "
+        mode = os.environ.get("RTC_GREEDY_DEVICE", "auto")
+        if opts.use_device and mode != "native":
+            # density-aware crossover (A/B: scripts/device_greedy_bench.py
+            # --table, .cache/device_greedy_ab.json): DENSE corpora favor
+            # the native engine (mask pulls dominate the sweep: 65536
+            # dense 17 s device vs 4.7 s native) while SPARSE corpora
+            # favor the device sweep (65536 sparse 18-20 s vs 52.7 s
+            # native — the rep index blows up when most genomes become
+            # reps).  The probe measures candidate degree on the top-1024
+            # genomes (~0.1 s): avg candidates/genome >= ~10 -> dense ->
+            # native (dense measures ~100, sparse ~1).
+            if mode == "auto" and _greedy_corpus_is_dense(
+                    ss2.hashes, threshold, p.kmer_size):
+                log("-----device greedy: dense corpus — routing to the "
+                    "native engine (see device_greedy_ab.json; "
                     "RTC_GREEDY_DEVICE=force overrides)")
                 gres = greedy_cluster(ss2.hashes, threshold, p.kmer_size,
                                       presorted=True, is_containment=False,
                                       progress=True)
+            else:
+                from .ops.greedy_device import greedy_cluster_device
+                gres = greedy_cluster_device(
+                    ss2.hashes, threshold, p.kmer_size, presorted=True,
+                    is_containment=False)
         else:
             gres = greedy_cluster(ss2.hashes, threshold, p.kmer_size,
                                   presorted=True, is_containment=False,

@@ -103,3 +103,33 @@ def test_native_greedy_matches_python():
     r_nat = greedy_cluster(h64, 0.05, 21, backend="native")
     r_py = greedy_cluster(h64, 0.05, 21, backend="python")
     assert r_nat.clusters == r_py.clusters
+
+
+def test_greedy_density_probe_classifies_corpora():
+    """The --device greedy crossover probe must separate the A/B table's
+    corpus classes: big-cluster (dense -> native) vs mostly-singleton
+    (sparse -> device).  Anchored to scripts/device_greedy_bench.py
+    --table / .cache/device_greedy_ab.json."""
+    import numpy as np
+    from rabbittclust_tpu.workflows import _greedy_corpus_is_dense
+
+    def corpus(n, n_clusters, s=200, seed=3):
+        rng = np.random.default_rng(seed)
+        bases = [np.unique(rng.integers(0, 2 ** 31, size=s).astype(
+            np.uint32)) for _ in range(n_clusters)]
+        out = []
+        for i in range(n):
+            b = bases[i % n_clusters]
+            keep = b[rng.random(len(b)) < 0.8]
+            extra = np.unique(rng.integers(
+                0, 2 ** 31, size=s - len(keep)).astype(np.uint32))
+            out.append(np.unique(np.concatenate([keep, extra])))
+        return out
+
+    n = 16384
+    dense = corpus(n, n // 200)
+    sparse = corpus(n, n // 2)
+    assert _greedy_corpus_is_dense(dense, 0.05, 21)
+    assert not _greedy_corpus_is_dense(sparse, 0.05, 21)
+    # below the device floor everything is "dense" (route native)
+    assert _greedy_corpus_is_dense(corpus(512, 256), 0.05, 21)
