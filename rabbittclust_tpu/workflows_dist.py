@@ -252,6 +252,9 @@ def main(argv=None) -> int:  # pragma: no cover - exercised via subprocess
     ap.add_argument("--module", default="mst",
                     choices=["mst", "greedy", "leiden", "dbscan"])
     ap.add_argument("--minpts", type=int, default=5)
+    # leiden options — same surface as the clust_leiden CLI
+    ap.add_argument("--resolution", type=float, default=1.0)
+    ap.add_argument("--louvain", dest="use_louvain", action="store_true")
     # dbscan accelerators — same surface as the clust_dbscan CLI so both
     # launch paths (this module entry and the clust_* console scripts)
     # accept identical options
@@ -266,7 +269,8 @@ def main(argv=None) -> int:  # pragma: no cover - exercised via subprocess
         threshold=args.threshold, drlevel=args.drlevel,
         min_len=args.min_len, threads=args.threads, bits=args.bits,
         module=args.module, min_pts=args.minpts, knn_k=args.knn_k,
-        max_posting=args.max_posting,
+        max_posting=args.max_posting, resolution=args.resolution,
+        use_leiden=not args.use_louvain,
         virtual_cpu_devices=args.virtual_cpu_devices)
     return 0
 
