@@ -675,3 +675,53 @@ def test_staged_pack_matches_host_pack():
                                            chunk=128)
     assert np.array_equal(np.asarray(xd), xp)
     assert np.array_equal(coll2, coll)
+
+
+def test_gated_verify_merge_native_matches_fallback():
+    """rtc_verify_merge_* (one-pass native count+distance+union-find) must
+    return the same kept edges, ok-mask, and union-find state as the
+    NumPy/Python fallback, for mash and containment, u32 and u64."""
+    import numpy as np
+    from rabbittclust_tpu.cluster.union_find import UnionFind
+    from rabbittclust_tpu.ops.bitmap import CsrSketches
+    from rabbittclust_tpu.ops import cluster_fast
+    from rabbittclust_tpu.utils import native as native_mod
+
+    assert native_mod.load_native() is not None
+    rng = np.random.default_rng(8)
+    for dtype in (np.uint32, np.uint64):
+        base = np.unique(rng.integers(0, 2 ** 30, size=500).astype(dtype))
+        hashes = []
+        for i in range(60):
+            take = int(rng.integers(40, 400))
+            sub = rng.choice(base, size=take, replace=False)
+            noise = np.unique(rng.integers(
+                0, 2 ** 30, size=take // 3).astype(dtype))
+            hashes.append(np.unique(np.concatenate([sub, noise])))
+        sizes = np.array([len(h) for h in hashes], dtype=np.int64)
+        ii = rng.integers(1, 60, size=300)
+        jj = rng.integers(0, ii)
+        for is_cont in (False, True):
+            csr = CsrSketches(hashes)
+            uf_n = UnionFind(60)
+            ki, kj, kd, ok = cluster_fast.gated_verify_merge(
+                uf_n, csr, sizes, ii, jj, 0.05, 21, is_cont)
+            # fallback: monkeypatch the native loader off
+            orig = native_mod.load_native
+            native_mod.load_native = lambda: None
+            try:
+                uf_f = UnionFind(60)
+                kif, kjf, kdf, okf = cluster_fast.gated_verify_merge(
+                    uf_f, csr, sizes, ii, jj, 0.05, 21, is_cont)
+            finally:
+                native_mod.load_native = orig
+            assert ki.tolist() == kif.tolist(), (dtype, is_cont)
+            assert kj.tolist() == kjf.tolist()
+            assert ok.tolist() == okf.tolist()
+            # distances: native libm vs NumPy SIMD log may differ 1 ulp
+            assert np.allclose(kd, kdf, rtol=0, atol=1e-15)
+            # partitions (not root identities) must agree
+            rn, rf = uf_n.roots_array(), uf_f.roots_array()
+            import itertools
+            for a, b in itertools.combinations(range(60), 2):
+                assert (rn[a] == rn[b]) == (rf[a] == rf[b]), (a, b)
