@@ -448,14 +448,27 @@ struct SeqRecord {
 
 struct FastaReader {
   gzFile fp = nullptr;
+  FILE* plain = nullptr;  // plain-file fast path: gzread on uncompressed
+                          // input still routes every byte through zlib's
+                          // pass-through copy; fread skips it
   std::vector<char> buf;
   int64_t pos = 0, avail = 0;
   bool eof_ = false;
 
   bool open(const char* path) {
-    fp = gzopen(path, "rb");
-    if (!fp) return false;
-    gzbuffer(fp, 1 << 20);
+    FILE* probe = fopen(path, "rb");
+    if (!probe) return false;
+    unsigned char magic[2] = {0, 0};
+    size_t got = fread(magic, 1, 2, probe);
+    if (got == 2 && magic[0] == 0x1f && magic[1] == 0x8b) {
+      fclose(probe);
+      fp = gzopen(path, "rb");
+      if (!fp) return false;
+      gzbuffer(fp, 1 << 20);
+    } else {
+      rewind(probe);
+      plain = probe;
+    }
     buf.resize(1 << 20);
     pos = avail = 0;
     eof_ = false;
@@ -464,11 +477,14 @@ struct FastaReader {
   void close() {
     if (fp) gzclose(fp);
     fp = nullptr;
+    if (plain) fclose(plain);
+    plain = nullptr;
   }
   inline int peek() {
     if (pos >= avail) {
       if (eof_) return -1;
-      avail = gzread(fp, buf.data(), (unsigned)buf.size());
+      avail = plain ? (int64_t)fread(buf.data(), 1, buf.size(), plain)
+                    : gzread(fp, buf.data(), (unsigned)buf.size());
       pos = 0;
       if (avail <= 0) {
         eof_ = true;

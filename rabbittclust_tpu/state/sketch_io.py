@@ -250,14 +250,28 @@ def read_sketch_parameters(folder: str) -> dict:
 # Inverted index files (kssd.sketch.{index,dict})
 # ---------------------------------------------------------------------------
 
+def _sorted_postings(hv: np.ndarray, gid: np.ndarray, wide_hash: bool):
+    """(hv, gid) sorted by (hash, gid).  32-bit hashes pack into one u64
+    key and use a single non-stable sort (~3x faster than stable argsort
+    + two gathers at millions of postings; keys are unique so the result
+    is deterministic and identical to the stable hv-argsort)."""
+    if not wide_hash and (len(gid) == 0 or int(gid[-1]) < (1 << 31)):
+        key = (hv.astype(np.uint64) << np.uint64(32)) | \
+            gid.astype(np.uint64)
+        key.sort()
+        return ((key >> np.uint64(32)).astype(np.uint32),
+                key.astype(np.uint32))  # low 32 bits
+    order = np.argsort(hv, kind="stable")
+    return hv[order], gid[order]
+
+
 def save_kssd_index(hashes: List[np.ndarray], use64: bool, folder: str) -> None:
     """Global inverted index from per-genome sorted hash arrays; entries
     written sorted by hash (deterministic; loader is order-agnostic)."""
     ensure_folder(folder)
     from ..cluster.mst import flatten_sketches
     hv, gid = flatten_sketches(hashes)
-    order = np.argsort(hv, kind="stable")
-    hv_s, gid_s = hv[order], gid[order]
+    hv_s, gid_s = _sorted_postings(hv, gid, use64)
     if len(hv_s):
         starts = np.flatnonzero(np.r_[True, hv_s[1:] != hv_s[:-1]])
         uniq = hv_s[starts]
@@ -350,8 +364,7 @@ def save_minhash_index(hashes: List[np.ndarray], folder: str) -> None:
     ensure_folder(folder)
     from ..cluster.mst import flatten_sketches
     hv, gid = flatten_sketches(hashes)
-    order = np.argsort(hv, kind="stable")
-    hv_s, gid_s = hv[order], gid[order]
+    hv_s, gid_s = _sorted_postings(hv, gid, hv.dtype == np.uint64)
     path = os.path.join(folder, "minhash.sketch.index")
     with open(path, "wb") as f:
         f.write(b"MHIDX001")
