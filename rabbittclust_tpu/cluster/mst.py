@@ -33,8 +33,9 @@ def flatten_sketches(hashes: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
     """Concatenate per-genome sorted hash arrays into (hash, gid) columns."""
     if not hashes:
         return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int32))
-    gid = np.concatenate(
-        [np.full(len(h), i, dtype=np.int32) for i, h in enumerate(hashes)])
+    sizes = np.fromiter((len(h) for h in hashes), dtype=np.int64,
+                        count=len(hashes))
+    gid = np.repeat(np.arange(len(hashes), dtype=np.int32), sizes)
     hv = np.concatenate([np.asarray(h) for h in hashes])
     return hv, gid
 

@@ -867,28 +867,9 @@ class CsrSketches:
     def __init__(self, hashes: List[np.ndarray]):
         self.n = len(hashes)
         self.use64 = self.n > 0 and hashes[0].dtype == np.uint64
-        dt = np.uint64 if self.use64 else np.uint32
-        self.offs = np.zeros(self.n + 1, dtype=np.int64)
-        if not self.n:
-            self.flat = np.empty(0, dtype=np.uint32)
-            return
-        np.cumsum([len(h) for h in hashes], out=self.offs[1:])
-        lib = native_mod.load_native()
-        if lib is not None and all(
-                h.dtype == dt and h.flags.c_contiguous for h in hashes):
-            # parallel native gather — np.concatenate costs ~2 s at 131k
-            # genomes on the 2-core host, the memcpy loop ~0.3 s
-            self.flat = np.empty(int(self.offs[-1]), dtype=dt)
-            ptrs = np.fromiter((h.ctypes.data for h in hashes),
-                               dtype=np.uint64, count=self.n)
-            lib.rtc_flatten.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
-                                        ctypes.c_int64, ctypes.c_int64,
-                                        ctypes.c_void_p, ctypes.c_int]
-            lib.rtc_flatten(ptrs.ctypes.data, self.offs.ctypes.data,
-                            self.n, dt().itemsize, self.flat.ctypes.data,
-                            os.cpu_count() or 1)
-        else:
-            self.flat = np.concatenate(hashes).astype(dt)
+        # parallel native gather (rtc_flatten) — np.concatenate costs ~2 s
+        # at 131k genomes on the 2-core host, the memcpy loop ~0.3 s
+        self.flat, self.offs = native_mod.flatten_csr(hashes, self.use64)
 
     def count_common(self, ii: np.ndarray, jj: np.ndarray,
                      threads: int = 0) -> np.ndarray:

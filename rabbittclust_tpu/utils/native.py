@@ -128,6 +128,32 @@ def load_native():
     return lib
 
 
+def flatten_csr(hashes, use64: bool):
+    """(flat, offs) CSR flatten of per-genome hash arrays — parallel
+    native gather (rtc_flatten) when the arrays are uniform/contiguous,
+    np.concatenate otherwise."""
+    dt = np.uint64 if use64 else np.uint32
+    n = len(hashes)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    if not n:
+        return np.empty(0, dtype=dt), offs
+    np.cumsum([len(h) for h in hashes], out=offs[1:])
+    lib = load_native()
+    if lib is not None and all(
+            h.dtype == dt and h.flags.c_contiguous for h in hashes):
+        flat = np.empty(int(offs[-1]), dtype=dt)
+        ptrs = np.fromiter((h.ctypes.data for h in hashes),
+                           dtype=np.uint64, count=n)
+        lib.rtc_flatten.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.c_void_p, ctypes.c_int]
+        lib.rtc_flatten(ptrs.ctypes.data, offs.ctypes.data, n,
+                        dt().itemsize, flat.ctypes.data,
+                        os.cpu_count() or 1)
+        return flat, offs
+    return np.concatenate(hashes).astype(dt), offs
+
+
 def native_mst(hashes, threshold: float, kmer_size: int,
                is_containment: bool, start_index: int, with_dense: bool,
                threads: int):
@@ -138,11 +164,7 @@ def native_mst(hashes, threshold: float, kmer_size: int,
         return None
     n = len(hashes)
     use64 = n > 0 and hashes[0].dtype == np.uint64
-    flat = np.concatenate(hashes).astype(np.uint64 if use64 else np.uint32) \
-        if n else np.empty(0, dtype=np.uint32)
-    offs = np.zeros(n + 1, dtype=np.int64)
-    if n:
-        np.cumsum([len(h) for h in hashes], out=offs[1:])
+    flat, offs = flatten_csr(hashes, use64)
     fn = lib.rtc_mst_u64 if use64 else lib.rtc_mst_u32
     h = fn(flat.ctypes.data, offs.ctypes.data_as(_c_i64p), n,
            float(threshold), int(kmer_size), int(is_containment),
