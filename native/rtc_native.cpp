@@ -1993,3 +1993,52 @@ extern "C" void rtc_flatten(const uint64_t* ptrs, const int64_t* offs,
            (size_t)(cnt * elem_size));
   }
 }
+
+// ---------------------------------------------------------------------------
+// Forest -> clusters finish (cluster/mst.py clusters_from_forest): BFS over
+// forest adjacency in EDGE ORDER from the lowest unvisited id — the
+// reference member-order contract (MST.cpp:109-142).  Returns the number
+// of clusters; order_out lists genome ids in discovery order, bounds_out
+// delimits clusters (bounds_out[k] .. bounds_out[k+1]).
+
+extern "C" int64_t rtc_forest_clusters(const int64_t* ei, const int64_t* ej,
+                                       int64_t m, int64_t n,
+                                       int32_t* order_out,
+                                       int64_t* bounds_out) {
+  std::vector<int64_t> deg(n + 1, 0);
+  for (int64_t k = 0; k < m; ++k) {
+    ++deg[ei[k] + 1];
+    ++deg[ej[k] + 1];
+  }
+  for (int64_t v = 0; v < n; ++v) deg[v + 1] += deg[v];
+  std::vector<int32_t> nbr(2 * (size_t)m);
+  std::vector<int64_t> fill(deg.begin(), deg.end() - 1);
+  for (int64_t k = 0; k < m; ++k) {  // edge order = python append order
+    nbr[(size_t)fill[ei[k]]++] = (int32_t)ej[k];
+    nbr[(size_t)fill[ej[k]]++] = (int32_t)ei[k];
+  }
+  std::vector<uint8_t> visited(n, 0);
+  std::vector<int32_t> queue(n);
+  int64_t w = 0, nc = 0;
+  for (int64_t s = 0; s < n; ++s) {
+    if (visited[s]) continue;
+    bounds_out[nc++] = w;
+    visited[s] = 1;
+    int64_t qh = 0, qt = 0;
+    queue[qt++] = (int32_t)s;
+    order_out[w++] = (int32_t)s;
+    while (qh < qt) {
+      int32_t u = queue[qh++];
+      for (int64_t p = deg[u]; p < deg[u + 1]; ++p) {
+        int32_t v = nbr[(size_t)p];
+        if (!visited[v]) {
+          visited[v] = 1;
+          queue[qt++] = v;
+          order_out[w++] = v;
+        }
+      }
+    }
+  }
+  bounds_out[nc] = w;
+  return nc;
+}

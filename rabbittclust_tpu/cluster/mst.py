@@ -302,11 +302,31 @@ def cut_forest(mst: Edges, threshold: float) -> Edges:
 def clusters_from_forest(forest: Edges, n: int) -> List[List[int]]:
     """Connected components via BFS, replicating reference member order
     (src/MST.cpp:109-142): adjacency in forest-edge order, BFS from the
-    lowest unvisited id."""
+    lowest unvisited id.  Native fast path (rtc_forest_clusters — the
+    Python BFS costs ~3 s at 1M genomes); identical output
+    (test_forest_clusters_native_matches_python)."""
     from collections import deque
 
-    adj: List[List[int]] = [[] for _ in range(n)]
+    from ..utils import native as native_mod
+
     fi, fj, _ = forest
+    lib = native_mod.load_native()
+    if lib is not None and n:
+        import ctypes
+        ei = np.ascontiguousarray(fi, dtype=np.int64)
+        ej = np.ascontiguousarray(fj, dtype=np.int64)
+        order = np.empty(n, dtype=np.int32)
+        bounds = np.empty(n + 1, dtype=np.int64)
+        fn = lib.rtc_forest_clusters
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p] * 2 + [ctypes.c_int64] * 2 + \
+            [ctypes.c_void_p] * 2
+        nc = fn(ei.ctypes.data, ej.ctypes.data, len(ei), n,
+                order.ctypes.data, bounds.ctypes.data)
+        ol = order.tolist()
+        return [ol[bounds[k]:bounds[k + 1]] for k in range(nc)]
+
+    adj: List[List[int]] = [[] for _ in range(n)]
     for u, v in zip(fi.tolist(), fj.tolist()):
         adj[u].append(v)
         adj[v].append(u)

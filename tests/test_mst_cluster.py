@@ -107,3 +107,35 @@ def test_append_start_index_equivalence(synthetic_genomes):
     ca = clusters_from_forest(cut_forest(res_app.mst, 0.05), n)
     cf = clusters_from_forest(cut_forest(res_full.mst, 0.05), n)
     assert same_partition(clusters_to_labels(ca, n), clusters_to_labels(cf, n))
+
+
+def test_forest_clusters_native_matches_python():
+    """rtc_forest_clusters must reproduce the Python BFS exactly: member
+    order (adjacency in forest-edge order, BFS from lowest unvisited id)
+    and cluster order, including singletons and multi-edge components."""
+    import numpy as np
+    from rabbittclust_tpu.cluster.mst import clusters_from_forest
+    from rabbittclust_tpu.utils import native as native_mod
+
+    assert native_mod.load_native() is not None
+    rng = np.random.default_rng(17)
+    n = 500
+    # random forest: attach each node > 0 to a random earlier node with
+    # probability 0.7 (rest are roots), edges in random order
+    fi, fj = [], []
+    for v in range(1, n):
+        if rng.random() < 0.7:
+            fi.append(v)
+            fj.append(int(rng.integers(0, v)))
+    perm = rng.permutation(len(fi))
+    fi = np.asarray(fi, dtype=np.int64)[perm]
+    fj = np.asarray(fj, dtype=np.int64)[perm]
+    d = rng.random(len(fi))
+    got = clusters_from_forest((fi, fj, d), n)
+    orig = native_mod.load_native
+    native_mod.load_native = lambda: None
+    try:
+        expect = clusters_from_forest((fi, fj, d), n)
+    finally:
+        native_mod.load_native = orig
+    assert got == expect
