@@ -116,3 +116,19 @@ def test_labelprop_5k_partition_matches_host(corpus5k):
     canon = sorted(tuple(sorted(c)) for c in got)
     canon_h = sorted(tuple(sorted(c)) for c in expect)
     assert canon == canon_h
+
+
+@pytest.mark.slow
+def test_e2e_bench_script_smoke(oracle):
+    """scripts/e2e_bench.py end-to-end on a tiny corpus: both pipelines
+    run, partitions equal, JSON well-formed (guards the committed bench
+    script against rot)."""
+    import json
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "e2e_bench.py"),
+         "--n-genomes", "600", "--genome-len", "12000"],
+        capture_output=True, text=True, cwd=repo)
+    assert r.returncode == 0, r.stderr[-1500:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["partitions_equal"] and out["clusters"] > 0
