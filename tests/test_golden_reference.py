@@ -836,3 +836,46 @@ def test_leiden_graph_byte_identical(oracle, tmp_path):
                 strict_r = {b for w, b in rm[a] if w > cut_r + 1e-12}
                 strict_o = {b for w, b in om[a] if w > cut_o + 1e-12}
                 assert strict_r == strict_o, a
+
+
+def test_leiden_pregraph_consumes_reference_graph(oracle, tmp_path):
+    """Cross-tool interop: our clust-leiden --pregraph loads a .graph file
+    SAVED BY THE REFERENCE's own save_graph_to_file and clusters from it
+    (the reference's fast resolution-sweep workflow,
+    sub_command.cpp:3200-3226)."""
+    import numpy as np
+    rng = np.random.default_rng(23)
+    B = np.frombuffer(b"ACGT", dtype=np.uint8)
+    files = []
+    for c in range(3):
+        L = 120000
+        base = rng.integers(0, 4, size=L, dtype=np.uint8)
+        for m in range(6):
+            gg = base.copy()
+            mut = rng.random(L) < 0.01
+            gg[mut] = rng.integers(0, 4, size=int(mut.sum()),
+                                   dtype=np.uint8)
+            seq = B[gg].tobytes()
+            fp = tmp_path / f"pg{c}_{m}.fna"
+            with open(fp, "wb") as f:
+                f.write(b">pg%d_%d x\n" % (c, m))
+                for k in range(0, L, 80):
+                    f.write(seq[k:k + 80] + b"\n")
+            files.append(str(fp))
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(files) + "\n")
+    ref_graph = tmp_path / "ref.graph"
+    r = subprocess.run([oracle["leiden-graph"], str(lst), str(ref_graph),
+                        "0.05", "21", "3", "0"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-1500:]
+    out = tmp_path / "pg.cluster"
+    run_ours("clust_leiden", ["--pregraph", str(ref_graph), "-o",
+                              str(out), "-d", "0.05"], str(tmp_path))
+    text = out.read_text()
+    # 3 planted communities over 18 nodes, ids 0..17 each exactly once
+    assert text.count("the cluster") == 3, text[:400]
+    import re
+    ids = sorted(int(m.group(1)) for m in re.finditer(
+        r"^\t\s*\d+\t\s*(\d+)$", text, re.M))
+    assert ids == list(range(18)), ids
