@@ -518,11 +518,18 @@ struct FastaReader {
       rec.comment = rec.name.substr(sp + 1);
       rec.name.resize(sp);
     }
-    // sequence lines until next '>' or EOF
+    // sequence lines until next '>' or EOF.  mid_line tracks whether the
+    // previous bulk consume ended at a buffer-refill boundary WITHOUT
+    // seeing the line's '\n': a '>' byte there is mid-line sequence data
+    // (malformed FASTA, but keep byte semantics independent of where the
+    // 1 MB buffer boundary happens to land), not a new record header.
+    bool mid_line = false;
     while (true) {
       int p = peek();
-      if (p < 0 || p == '>') break;
+      if (p < 0) break;
+      if (p == '>' && !mid_line) break;
       if (p == '\n' || p == '\r') {
+        if (p == '\n') mid_line = false;
         ++pos;
         continue;
       }
@@ -540,6 +547,7 @@ struct FastaReader {
         for (int64_t q = pos; q < stop; ++q)
           if (base[q] != '\r') rec.seq.push_back(base[q]);
       }
+      mid_line = (nl == nullptr);
       pos = end + (nl ? 1 : 0);
     }
     return true;

@@ -352,7 +352,14 @@ def _encode_clear(fi: np.ndarray, fj: np.ndarray, rb: int,
         cblk = fj // rb
         t[:len(fi)] = (rblk * (rblk + 1) // 2 + cblk - t_off).astype(
             np.int32)
-        assert t[:len(fi)].min() >= 0, "clear target outside current panel"
+        if t[:len(fi)].min() < 0:
+            # A negative tile index would wrap through int32 inside the
+            # device scatter and silently corrupt another panel's mask —
+            # fail loudly instead (and survive ``python -O``, which strips
+            # bare asserts).
+            raise RuntimeError(
+                "labelprop clear target outside current panel "
+                f"(min rebased tile {int(t[:len(fi)].min())}, t_off={t_off})")
         r[:len(fi)] = (fi % rb).astype(np.int32)
         jl = fj % rb
         b[:len(fi)] = (jl // 8).astype(np.int32)

@@ -104,3 +104,30 @@ def test_multi_hundred_mb_file_streams_bounded(tmp_path):
     assert int(peak_mb) < 330, (
         f"peak RSS {peak_mb} MB (import baseline {base_mb} MB, "
         f"stderr: {proc.stderr[-200:]}) — ingest slurped?")
+
+
+def test_midline_gt_at_buffer_boundary(tmp_path):
+    """A '>' byte inside a sequence line must parse the same regardless of
+    where the native reader's 1 MB refill boundary lands (advisor round-4:
+    the memchr bulk-consume path used to start a new record when the
+    continuation byte after a refill was '>')."""
+    from rabbittclust_tpu.sketch.kssd import sketch_sequences_kssd
+
+    rng = np.random.default_rng(5)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seq = bytearray(lut[rng.integers(0, 4, size=(1 << 20) + 5000)].tobytes())
+    hdr_a = b">s0 x\n"
+    # '>' lands exactly at file offset 1<<20 = the first refill boundary
+    seq[(1 << 20) - len(hdr_a)] = ord(">")
+    fa = tmp_path / "boundary.fna"
+    fa.write_bytes(hdr_a + bytes(seq) + b"\n")
+    # identical record, header padded so the same '>' byte sits mid-buffer
+    fb = tmp_path / "shifted.fna"
+    fb.write_bytes(b">s0 x" + b"P" * 64 + b"\n" + bytes(seq) + b"\n")
+
+    ss_a, _ = sketch_sequences_kssd(str(fa), min_len=1000, kmer_size=21,
+                                    drlevel=3, threads=1)
+    ss_b, _ = sketch_sequences_kssd(str(fb), min_len=1000, kmer_size=21,
+                                    drlevel=3, threads=1)
+    assert ss_a.names == ss_b.names == ["s0"]
+    assert np.array_equal(ss_a.hashes[0], ss_b.hashes[0])
