@@ -2050,3 +2050,177 @@ extern "C" int64_t rtc_forest_clusters(const int64_t* ei, const int64_t* ej,
   bounds_out[nc] = w;
   return nc;
 }
+
+// ---------------------------------------------------------------------------
+// Louvain / Leiden hot loops (cluster/leiden.py _one_level / _refine move
+// phase).  Bit-identical to the NumPy reference implementation, which stays
+// in leiden.py as the fallback and test oracle: same ascending node order,
+// same first-occurrence community link order, and the same float64
+// expression trees (no expression here is FMA-contractable except the
+// exact 2.0*w multiply, so -ffp-contract makes no difference).  Parity
+// target: igraph community_multilevel / community_leiden as invoked by the
+// reference (/root/reference/src/leiden.cpp:367-400).
+
+extern "C" int64_t rtc_louvain_one_level(
+    int64_t n, const int64_t* adj_idx, const int64_t* adj_nbr,
+    const double* adj_w, const double* k_arr, double two_m,
+    double resolution, const int64_t* init, int64_t comm_tot_len,
+    int64_t* comm) {
+  std::vector<double> comm_tot((size_t)comm_tot_len, 0.0);
+  if (init) {
+    for (int64_t i = 0; i < n; ++i) comm[i] = init[i];
+    for (int64_t i = 0; i < n; ++i) comm_tot[(size_t)comm[i]] += k_arr[i];
+  } else {
+    for (int64_t i = 0; i < n; ++i) comm[i] = i;
+    for (int64_t i = 0; i < n; ++i) comm_tot[(size_t)i] = k_arr[i];
+  }
+  std::vector<int64_t> mark((size_t)comm_tot_len, -1);
+  std::vector<int64_t> lcomm;
+  std::vector<double> lw;
+  int64_t improved_any = 0;
+  for (int sweep = 0; sweep < 100; ++sweep) {
+    int64_t moved = 0;
+    for (int64_t u = 0; u < n; ++u) {
+      int64_t b0 = adj_idx[u], b1 = adj_idx[u + 1];
+      if (b1 == b0) continue;
+      int64_t cu = comm[u];
+      double ku = k_arr[u];
+      comm_tot[(size_t)cu] -= ku;
+      lcomm.clear();
+      lw.clear();
+      for (int64_t p = b0; p < b1; ++p) {
+        int64_t cv = comm[adj_nbr[p]];
+        int64_t ix = mark[(size_t)cv];
+        if (ix < 0) {
+          mark[(size_t)cv] = (int64_t)lcomm.size();
+          lcomm.push_back(cv);
+          lw.push_back(adj_w[p]);
+        } else {
+          lw[(size_t)ix] += adj_w[p];
+        }
+      }
+      double w_cu = (mark[(size_t)cu] >= 0) ? lw[(size_t)mark[(size_t)cu]]
+                                            : 0.0;
+      double base = w_cu - resolution * comm_tot[(size_t)cu] * ku / two_m;
+      int64_t best_c = cu;
+      double best_gain = 0.0;
+      for (size_t t = 0; t < lcomm.size(); ++t) {
+        int64_t cv = lcomm[t];
+        double gain = lw[t] - resolution * comm_tot[(size_t)cv] * ku / two_m;
+        double rel = gain - base;
+        if (rel > best_gain + 1e-12 ||
+            (std::fabs(rel - best_gain) <= 1e-12 && best_gain > 0 &&
+             cv < best_c)) {
+          best_gain = rel;
+          best_c = cv;
+        }
+      }
+      for (size_t t = 0; t < lcomm.size(); ++t) mark[(size_t)lcomm[t]] = -1;
+      comm[u] = best_c;
+      comm_tot[(size_t)best_c] += ku;
+      if (best_c != cu) {
+        moved = 1;
+        improved_any = 1;
+      }
+    }
+    if (!moved) break;
+  }
+  return improved_any;
+}
+
+// Leiden refinement MOVE loop only; the caller (leiden.py _refine) computes
+// ext / well_v / comm_tot with NumPy first (keeps NumPy's pairwise-sum FP
+// order for E(v, C-v) out of native code).  ``ext`` is updated in place
+// exactly like the Python loop; ``sub`` is the output membership.
+extern "C" void rtc_leiden_refine_moves(
+    int64_t n, const int64_t* adj_idx, const int64_t* adj_nbr,
+    const double* adj_w, const double* k_arr, double two_m,
+    const int64_t* comm, double resolution, const double* comm_tot,
+    double* ext, const uint8_t* well_v, int64_t* sub) {
+  std::vector<double> sub_tot(k_arr, k_arr + n);
+  std::vector<int64_t> sub_size((size_t)n, 1);
+  for (int64_t i = 0; i < n; ++i) sub[i] = i;
+  std::vector<int64_t> mark((size_t)n, -1);
+  std::vector<int64_t> lsub;
+  std::vector<double> lw;
+  for (int64_t u = 0; u < n; ++u) {
+    if (sub_size[(size_t)sub[u]] != 1 || !well_v[u]) continue;
+    int64_t cu = comm[u];
+    lsub.clear();
+    lw.clear();
+    for (int64_t p = adj_idx[u]; p < adj_idx[u + 1]; ++p) {
+      int64_t v = adj_nbr[p];
+      if (comm[v] != cu) continue;
+      int64_t sv = sub[v];
+      if (sv == sub[u]) continue;
+      int64_t ix = mark[(size_t)sv];
+      if (ix < 0) {
+        mark[(size_t)sv] = (int64_t)lsub.size();
+        lsub.push_back(sv);
+        lw.push_back(adj_w[p]);
+      } else {
+        lw[(size_t)ix] += adj_w[p];
+      }
+    }
+    double ku = k_arr[u];
+    int64_t best_s = -1;
+    double best_gain = 0.0;
+    for (size_t t = 0; t < lsub.size(); ++t) {
+      int64_t sv = lsub[t];
+      double ks = sub_tot[(size_t)sv];
+      if (ext[sv] <
+          resolution * ks * (comm_tot[(size_t)cu] - ks) / two_m)
+        continue;
+      double gain = lw[t] - resolution * ks * ku / two_m;
+      if (gain > best_gain + 1e-12 ||
+          (std::fabs(gain - best_gain) <= 1e-12 && best_gain > 0 &&
+           sv < best_s)) {
+        best_gain = gain;
+        best_s = sv;
+      }
+    }
+    if (best_s >= 0) {
+      int64_t old = sub[u];
+      double w_in = lw[(size_t)mark[(size_t)best_s]];
+      sub[u] = best_s;
+      sub_size[(size_t)old] -= 1;
+      sub_size[(size_t)best_s] += 1;
+      sub_tot[(size_t)best_s] += ku;
+      sub_tot[(size_t)old] -= ku;
+      ext[best_s] += ext[old] - 2.0 * w_in;
+      ext[old] = 0.0;
+    }
+    for (size_t t = 0; t < lsub.size(); ++t) mark[(size_t)lsub[t]] = -1;
+  }
+}
+
+// CSR adjacency for the Louvain level loop (cluster/leiden.py louvain /
+// leiden): replicates np.argsort(concat(frm,to), stable) exactly via a
+// two-pass counting sort — per node, frm-occurrences in edge order then
+// to-occurrences in edge order — and deg_w in np.add.at order (all frm
+// adds, then all to adds).
+extern "C" void rtc_csr_build(int64_t n, int64_t m, const int64_t* frm,
+                              const int64_t* to, const double* w,
+                              int64_t* adj_idx, int64_t* adj_nbr,
+                              double* adj_w, double* deg_w) {
+  for (int64_t u = 0; u < n; ++u) deg_w[u] = 0.0;
+  for (int64_t k = 0; k < m; ++k) deg_w[frm[k]] += w[k];
+  for (int64_t k = 0; k < m; ++k) deg_w[to[k]] += w[k];
+  for (int64_t u = 0; u <= n; ++u) adj_idx[u] = 0;
+  for (int64_t k = 0; k < m; ++k) {
+    ++adj_idx[frm[k] + 1];
+    ++adj_idx[to[k] + 1];
+  }
+  for (int64_t u = 0; u < n; ++u) adj_idx[u + 1] += adj_idx[u];
+  std::vector<int64_t> fill(adj_idx, adj_idx + n);
+  for (int64_t k = 0; k < m; ++k) {
+    int64_t s = fill[frm[k]]++;
+    adj_nbr[s] = to[k];
+    adj_w[s] = w[k];
+  }
+  for (int64_t k = 0; k < m; ++k) {
+    int64_t s = fill[to[k]]++;
+    adj_nbr[s] = frm[k];
+    adj_w[s] = w[k];
+  }
+}

@@ -20,6 +20,7 @@ Re-derivation of reference src/leiden.cpp:
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import Dict, List, Optional, Tuple
 
@@ -112,9 +113,50 @@ def load_graph(path: str) -> Tuple[int, Graph]:
 # Deterministic array-based Louvain (modularity with resolution parameter)
 # ---------------------------------------------------------------------------
 
+def _native_lib():
+    """Native community-detection hot loops (rtc_louvain_one_level /
+    rtc_leiden_refine_moves); RTC_LOUVAIN=numpy forces the pure-NumPy
+    implementation (the bit-identical oracle the tests compare against)."""
+    if os.environ.get("RTC_LOUVAIN", "") == "numpy":
+        return None
+    from ..utils import native as native_mod
+    return native_mod.load_native()
+
+
 def _one_level(n: int, adj_idx, adj_nbr, adj_w, k_arr, two_m,
                resolution: float,
                init: Optional[np.ndarray] = None) -> Tuple[np.ndarray, bool]:
+    lib = _native_lib()
+    if lib is None or n == 0:
+        return _one_level_py(n, adj_idx, adj_nbr, adj_w, k_arr, two_m,
+                             resolution, init)
+    import ctypes
+    adj_idx = np.ascontiguousarray(adj_idx, dtype=np.int64)
+    adj_nbr = np.ascontiguousarray(adj_nbr, dtype=np.int64)
+    adj_w = np.ascontiguousarray(adj_w, dtype=np.float64)
+    k_arr = np.ascontiguousarray(k_arr, dtype=np.float64)
+    comm = np.empty(n, dtype=np.int64)
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int64)
+    if init is None:
+        init_ptr = None
+        tot_len = n
+    else:
+        init = np.ascontiguousarray(init, dtype=np.int64)
+        init_ptr = init.ctypes.data_as(ctypes.c_void_p)
+        tot_len = max(n, int(init.max()) + 1)
+    improved = lib.rtc_louvain_one_level(
+        n, adj_idx.ctypes.data_as(ip), adj_nbr.ctypes.data_as(ip),
+        adj_w.ctypes.data_as(dp), k_arr.ctypes.data_as(dp),
+        float(two_m), float(resolution), init_ptr, tot_len,
+        comm.ctypes.data_as(ip))
+    return comm, bool(improved)
+
+
+def _one_level_py(n: int, adj_idx, adj_nbr, adj_w, k_arr, two_m,
+                  resolution: float,
+                  init: Optional[np.ndarray] = None
+                  ) -> Tuple[np.ndarray, bool]:
     """One Louvain level: local moves until stable.  Deterministic: nodes in
     ascending order; best community by max gain, ties -> lowest id.
     ``init`` seeds the starting membership (used by Leiden levels, where the
@@ -162,6 +204,70 @@ def _one_level(n: int, adj_idx, adj_nbr, adj_w, k_arr, two_m,
     return comm, improved_any
 
 
+def _level_csr(cur_n: int, frm, to, w):
+    """(adj_idx, adj_nbr, adj_w, deg_w) for one level.  Native counting-sort
+    fast path replicates np.argsort(concat(frm,to), stable) and the
+    np.add.at degree order exactly; the NumPy branch is the oracle."""
+    frm = np.ascontiguousarray(frm, dtype=np.int64)
+    to = np.ascontiguousarray(to, dtype=np.int64)
+    w = np.ascontiguousarray(w, dtype=np.float64)
+    lib = _native_lib()
+    if lib is not None and cur_n:
+        import ctypes
+        m = len(frm)
+        adj_idx = np.empty(cur_n + 1, dtype=np.int64)
+        adj_nbr = np.empty(2 * m, dtype=np.int64)
+        adj_w = np.empty(2 * m, dtype=np.float64)
+        deg_w = np.empty(cur_n, dtype=np.float64)
+        ip = ctypes.POINTER(ctypes.c_int64)
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.rtc_csr_build(
+            cur_n, m, frm.ctypes.data_as(ip), to.ctypes.data_as(ip),
+            w.ctypes.data_as(dp), adj_idx.ctypes.data_as(ip),
+            adj_nbr.ctypes.data_as(ip), adj_w.ctypes.data_as(dp),
+            deg_w.ctypes.data_as(dp))
+        return adj_idx, adj_nbr, adj_w, deg_w
+    deg_w = np.zeros(cur_n, dtype=np.float64)
+    np.add.at(deg_w, frm, w)
+    np.add.at(deg_w, to, w)
+    src = np.concatenate([frm, to])
+    dst = np.concatenate([to, frm])
+    ww2 = np.concatenate([w, w])
+    order = np.argsort(src, kind="stable")
+    src, dst, ww2 = src[order], dst[order], ww2[order]
+    adj_idx = np.zeros(cur_n + 1, dtype=np.int64)
+    np.add.at(adj_idx, src + 1, 1)
+    return np.cumsum(adj_idx), dst, ww2, deg_w
+
+
+def _compact_by_value(arr: np.ndarray, bound: int
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """(inverse, uniq) == np.unique(arr, return_inverse=True) for
+    nonnegative ints < bound — O(n + bound) flag/cumsum, no sort."""
+    present = np.zeros(bound, dtype=bool)
+    present[arr] = True
+    newid = np.cumsum(present) - 1
+    return newid[arr], np.flatnonzero(present)
+
+
+def _aggregate(comm_compact, n_comm: int, frm, to, w):
+    """Aggregated (frm, to, w) over the compact membership; identical to
+    the np.unique/np.add.at formulation (bincount accumulates per bin in
+    input order, exactly like add.at on a zero array)."""
+    cf = comm_compact[frm]
+    ct = comm_compact[to]
+    a = np.minimum(cf, ct)
+    b = np.maximum(cf, ct)
+    key = a * n_comm + b
+    if n_comm * n_comm <= max(1 << 26, 4 * len(key)):
+        inv, uk = _compact_by_value(key, n_comm * n_comm)
+    else:
+        uk, inv = np.unique(key, return_inverse=True)
+    agg_w = np.bincount(inv, weights=w, minlength=len(uk))
+    return ((uk // n_comm).astype(np.int64), (uk % n_comm).astype(np.int64),
+            agg_w)
+
+
 def louvain(n: int, graph: Graph, resolution: float = 1.0
             ) -> np.ndarray:
     """Returns membership array (n,) of community ids (renumbered 0..)."""
@@ -174,42 +280,23 @@ def louvain(n: int, graph: Graph, resolution: float = 1.0
         if len(cur_frm) == 0:
             break
         # CSR adjacency (undirected; self-loops contribute to degree)
-        deg_w = np.zeros(cur_n, dtype=np.float64)
-        np.add.at(deg_w, cur_frm, cur_w)
-        np.add.at(deg_w, cur_to, cur_w)
+        adj_idx, dst, ww2, deg_w = _level_csr(cur_n, cur_frm, cur_to, cur_w)
         two_m = deg_w.sum()
         if two_m <= 0:
             break
-        src = np.concatenate([cur_frm, cur_to])
-        dst = np.concatenate([cur_to, cur_frm])
-        ww2 = np.concatenate([cur_w, cur_w])
-        order = np.argsort(src, kind="stable")
-        src, dst, ww2 = src[order], dst[order], ww2[order]
-        adj_idx = np.zeros(cur_n + 1, dtype=np.int64)
-        np.add.at(adj_idx, src + 1, 1)
-        adj_idx = np.cumsum(adj_idx)
         comm, improved = _one_level(cur_n, adj_idx, dst, ww2, deg_w, two_m,
                                     resolution)
         # renumber communities compactly
-        uniq, comm_compact = np.unique(comm, return_inverse=True)
+        comm_compact, uniq = _compact_by_value(comm, cur_n)
         membership = comm_compact[membership]
         if not improved or len(uniq) == cur_n:
             break
         # aggregate graph
-        cf = comm_compact[cur_frm]
-        ct = comm_compact[cur_to]
-        a = np.minimum(cf, ct)
-        b = np.maximum(cf, ct)
-        key = a * len(uniq) + b
-        uk, inv = np.unique(key, return_inverse=True)
-        agg_w = np.zeros(len(uk), dtype=np.float64)
-        np.add.at(agg_w, inv, cur_w)
-        cur_frm = (uk // len(uniq)).astype(np.int64)
-        cur_to = (uk % len(uniq)).astype(np.int64)
-        cur_w = agg_w
+        cur_frm, cur_to, cur_w = _aggregate(comm_compact, len(uniq),
+                                            cur_frm, cur_to, cur_w)
         cur_n = len(uniq)
     # final renumber
-    _, final = np.unique(membership, return_inverse=True)
+    final, _ = _compact_by_value(membership, n)
     return final
 
 
@@ -225,14 +312,13 @@ def _refine(n: int, adj_idx, adj_nbr, adj_w, k_arr, two_m, comm,
     randomly among positive-gain candidates — here we take max gain with
     ties to the lowest subcommunity id, which keeps the well-connectedness
     guarantee while making results reproducible."""
-    sub = np.arange(n, dtype=np.int64)
-    sub_tot = k_arr.copy()           # K_S per subcommunity
-    sub_size = np.ones(n, dtype=np.int64)
     # E(v, C - v): weight from v to other nodes in its community
     comm_tot = np.zeros(int(comm.max()) + 1 if n else 0, dtype=np.float64)
     np.add.at(comm_tot, comm, k_arr)
     # edge weight of each subcommunity to the rest of its community;
-    # singletons: E(S, C-S) == E(v, C-v)
+    # singletons: E(S, C-S) == E(v, C-v).  Computed here (not in native
+    # code) so wts[same].sum() keeps NumPy's pairwise-sum FP order in both
+    # paths.
     ext = np.zeros(n, dtype=np.float64)
     for u in range(n):
         cu = comm[u]
@@ -241,6 +327,28 @@ def _refine(n: int, adj_idx, adj_nbr, adj_w, k_arr, two_m, comm,
         same = comm[nbrs] == cu
         ext[u] = wts[same].sum()
     well_v = ext >= resolution * k_arr * (comm_tot[comm] - k_arr) / two_m
+    lib = _native_lib()
+    if lib is not None and n:
+        import ctypes
+        adj_idx = np.ascontiguousarray(adj_idx, dtype=np.int64)
+        adj_nbr = np.ascontiguousarray(adj_nbr, dtype=np.int64)
+        adj_w = np.ascontiguousarray(adj_w, dtype=np.float64)
+        k_arr = np.ascontiguousarray(k_arr, dtype=np.float64)
+        comm_c = np.ascontiguousarray(comm, dtype=np.int64)
+        well_c = np.ascontiguousarray(well_v, dtype=np.uint8)
+        sub = np.empty(n, dtype=np.int64)
+        dp = ctypes.POINTER(ctypes.c_double)
+        ip = ctypes.POINTER(ctypes.c_int64)
+        lib.rtc_leiden_refine_moves(
+            n, adj_idx.ctypes.data_as(ip), adj_nbr.ctypes.data_as(ip),
+            adj_w.ctypes.data_as(dp), k_arr.ctypes.data_as(dp),
+            float(two_m), comm_c.ctypes.data_as(ip), float(resolution),
+            comm_tot.ctypes.data_as(dp), ext.ctypes.data_as(dp),
+            well_c.ctypes.data_as(ctypes.c_void_p), sub.ctypes.data_as(ip))
+        return sub
+    sub = np.arange(n, dtype=np.int64)
+    sub_tot = k_arr.copy()           # K_S per subcommunity
+    sub_size = np.ones(n, dtype=np.int64)
     for u in range(n):
         if sub_size[sub[u]] != 1 or not well_v[u]:
             continue  # only still-singleton, well-connected nodes move
@@ -300,29 +408,21 @@ def leiden(n: int, graph: Graph, resolution: float = 1.0) -> np.ndarray:
     for _level in range(32):
         if len(cur_frm) == 0:
             break
-        deg_w = np.zeros(cur_n, dtype=np.float64)
-        np.add.at(deg_w, cur_frm, cur_w)
-        np.add.at(deg_w, cur_to, cur_w)
+        adj_idx, dst, ww2, deg_w = _level_csr(cur_n, cur_frm, cur_to, cur_w)
         two_m = deg_w.sum()
         if two_m <= 0:
             break
-        src = np.concatenate([cur_frm, cur_to])
-        dst = np.concatenate([cur_to, cur_frm])
-        ww2 = np.concatenate([cur_w, cur_w])
-        order = np.argsort(src, kind="stable")
-        src, dst, ww2 = src[order], dst[order], ww2[order]
-        adj_idx = np.zeros(cur_n + 1, dtype=np.int64)
-        np.add.at(adj_idx, src + 1, 1)
-        adj_idx = np.cumsum(adj_idx)
         comm, improved = _one_level(cur_n, adj_idx, dst, ww2, deg_w, two_m,
                                     resolution, init=init)
-        _, comm = np.unique(comm, return_inverse=True)
+        comm_bound = cur_n if init is None else max(cur_n,
+                                                    int(init.max()) + 1)
+        comm, _ = _compact_by_value(comm, comm_bound)
         if not improved:
             membership = comm[membership]
             break
         refined = _refine(cur_n, adj_idx, dst, ww2, deg_w, two_m, comm,
                           resolution)
-        uniq_r, ref_compact = np.unique(refined, return_inverse=True)
+        ref_compact, uniq_r = _compact_by_value(refined, cur_n)
         membership = ref_compact[membership]
         if len(uniq_r) == cur_n:
             # refinement left every aggregate node a singleton: converged.
@@ -331,22 +431,13 @@ def leiden(n: int, graph: Graph, resolution: float = 1.0) -> np.ndarray:
                                                len(uniq_r))][membership]
             break
         # aggregate on the REFINED partition
-        cf = ref_compact[cur_frm]
-        ct = ref_compact[cur_to]
-        a = np.minimum(cf, ct)
-        b = np.maximum(cf, ct)
-        key = a * len(uniq_r) + b
-        uk, inv = np.unique(key, return_inverse=True)
-        agg_w = np.zeros(len(uk), dtype=np.float64)
-        np.add.at(agg_w, inv, cur_w)
-        cur_frm = (uk // len(uniq_r)).astype(np.int64)
-        cur_to = (uk % len(uniq_r)).astype(np.int64)
-        cur_w = agg_w
+        cur_frm, cur_to, cur_w = _aggregate(ref_compact, len(uniq_r),
+                                            cur_frm, cur_to, cur_w)
         # next level starts from the UNREFINED communities: each refined
         # subcommunity's initial community is its parent community in comm
         init = comm[_first_of_groups(ref_compact, len(uniq_r))]
         cur_n = len(uniq_r)
-    _, final = np.unique(membership, return_inverse=True)
+    final, _ = _compact_by_value(membership, n)
     return final
 
 
@@ -416,15 +507,15 @@ def modularity(n: int, graph: Graph, membership: np.ndarray,
     frm, to, w = graph
     if len(frm) == 0:
         return 0.0
-    deg = np.zeros(n, dtype=np.float64)
-    np.add.at(deg, frm, w)
-    np.add.at(deg, to, w)
+    # bincount == add.at on a zero array (per-bin input-order accumulation)
+    deg = np.bincount(frm, weights=w, minlength=n)
+    deg += np.bincount(to, weights=w, minlength=n)
     two_m = deg.sum()
     if two_m <= 0:
         return 0.0
     intra = w[membership[frm] == membership[to]].sum()
-    comm_deg = np.zeros(int(membership.max()) + 1, dtype=np.float64)
-    np.add.at(comm_deg, membership, deg)
+    comm_deg = np.bincount(membership, weights=deg,
+                           minlength=int(membership.max()) + 1)
     return float(2.0 * intra / two_m -
                  resolution * np.sum((comm_deg / two_m) ** 2))
 
@@ -460,16 +551,9 @@ def louvain_edge_parallel(n: int, graph: Graph, resolution: float = 1.0,
     # aggregate the full graph by the warm membership, cluster the
     # supergraph, and compose
     n_comm = int(best_mem.max()) + 1
-    cf = best_mem[frm]
-    ct = best_mem[to]
-    a = np.minimum(cf, ct)
-    b = np.maximum(cf, ct)
-    key = a.astype(np.int64) * n_comm + b
-    uk, inv = np.unique(key, return_inverse=True)
-    agg_w = np.zeros(len(uk), dtype=np.float64)
-    np.add.at(agg_w, inv, w)
-    super_mem = louvain(n_comm, ((uk // n_comm).astype(np.int64),
-                                 (uk % n_comm).astype(np.int64), agg_w),
+    super_mem = louvain(n_comm,
+                        _aggregate(best_mem.astype(np.int64), n_comm,
+                                   frm, to, w),
                         resolution)
     composed = super_mem[best_mem]
     # keep whichever is better: warm-start composition or plain Louvain

@@ -125,6 +125,19 @@ def load_native():
         getattr(lib, fn).argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int]
+    _c_f64p = ctypes.POINTER(ctypes.c_double)
+    lib.rtc_louvain_one_level.restype = ctypes.c_int64
+    lib.rtc_louvain_one_level.argtypes = [
+        ctypes.c_int64, _c_i64p, _c_i64p, _c_f64p, _c_f64p,
+        ctypes.c_double, ctypes.c_double, ctypes.c_void_p, ctypes.c_int64,
+        _c_i64p]
+    lib.rtc_leiden_refine_moves.argtypes = [
+        ctypes.c_int64, _c_i64p, _c_i64p, _c_f64p, _c_f64p,
+        ctypes.c_double, _c_i64p, ctypes.c_double, _c_f64p, _c_f64p,
+        ctypes.c_void_p, _c_i64p]
+    lib.rtc_csr_build.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, _c_i64p, _c_i64p, _c_f64p,
+        _c_i64p, _c_i64p, _c_f64p, _c_f64p]
     return lib
 
 

@@ -73,9 +73,19 @@ def run_leiden(hashes, threshold, k):
                                                  cluster_graph)
     t0 = time.perf_counter()
     graph = build_similarity_graph(hashes, threshold, k, knn_k=1000)
+    t_graph = time.perf_counter() - t0
     # --louvain CLI mode: edge-parallel Louvain with warm start
+    t1 = time.perf_counter()
     clusters = cluster_graph(len(hashes), graph, 1.0, use_leiden=False,
                              edge_parallel=True)
+    t_comm = time.perf_counter() - t1
+    print(json.dumps({"phase": "leiden_phases", "n": len(hashes),
+                      "edges": int(len(graph[0])),
+                      "graph_s": round(t_graph, 1),
+                      "community_s": round(t_comm, 1),
+                      "louvain_impl": os.environ.get("RTC_LOUVAIN",
+                                                     "native")}),
+          flush=True)
     report("leiden", len(hashes), t0, len(clusters))
 
 
