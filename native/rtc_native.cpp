@@ -2224,3 +2224,183 @@ extern "C" void rtc_csr_build(int64_t n, int64_t m, const int64_t* frm,
     adj_w[s] = w[k];
   }
 }
+
+// ---------------------------------------------------------------------------
+// Intra-partition MST replay (the byte-identical order finish for the device
+// labelprop clusters path).  Given an exact threshold partition (labels),
+// replays the -t 1 streaming-Kruskal cadence of mst_engine / the reference
+// (MST.cpp:388-766: subSize=8 genome blocks by GLOBAL id, unstable
+// dist-only std::sort + Kruskal per block, tail reduce, final reduce)
+// restricted to WITHIN-cluster candidate pairs.  Candidate enumeration,
+// first-touch order, ratio filter and libm-log distances are identical to
+// mst_engine; cross-cluster candidates (all >= threshold by the partition
+// definition) are the only edges absent from the sort arrays.  Cutting the
+// result at the threshold therefore yields each cluster's spanning tree in
+// the order generateClusterWithBfs consumes (MST.cpp:109-142); the 400- and
+// 5k-genome goldens assert the .cluster files are byte-identical to the
+// reference binary's.
+
+namespace {
+
+template <typename HashT>
+MstOut intra_mst_engine(const HashT* flat, const int64_t* offs, int64_t n,
+                        const int32_t* labels, double threshold,
+                        int kmer_size, bool containment,
+                        int32_t* has_cross, bool abort_on_cross) {
+  MstOut out;
+  if (has_cross) *has_cross = 0;
+  if (n < 2) return out;
+  const int64_t m = offs[n];
+  // Exactness certificate: when NO hash value is shared across two
+  // different labels, every genome's touched set (and hence the candidate
+  // edge stream, the per-block sort arrays and all their unstable-tie
+  // permutations) is IDENTICAL to the global engine's — the replay is
+  // byte-identical to the -t 1 reference by construction.  When cross-
+  // label sharing exists the replay is still the reference cadence over
+  // the within-cluster stream, but equal-distance tie groups that
+  // interleave with cross-cluster candidates in the global sort arrays
+  // may resolve differently (measured: 128/4800 tie-substituted tree
+  // edges on an adversarial synthetic corpus) — the flag lets callers
+  // report which case they are in.
+  if (has_cross) {
+    std::vector<std::pair<HashT, int32_t>> hl(m);
+    for (int64_t g = 0; g < n; ++g)
+      for (int64_t p = offs[g]; p < offs[g + 1]; ++p)
+        hl[p] = {flat[p], labels[g]};
+    std::sort(hl.begin(), hl.end());
+    for (int64_t p = 1; p < m; ++p)
+      if (hl[p].first == hl[p - 1].first &&
+          hl[p].second != hl[p - 1].second) {
+        *has_cross = 1;
+        break;
+      }
+    // caller will run the full global engine instead — skip the replay
+    if (*has_cross && abort_on_cross) return out;
+  }
+  // (label, hash, gid) sort: runs = same (label, hash) -> the per-cluster
+  // inverted index, gids ascending within a run
+  struct Ent {
+    int32_t label;
+    HashT hash;
+    uint32_t gid;
+    bool operator<(const Ent& o) const {
+      if (label != o.label) return label < o.label;
+      if (hash != o.hash) return hash < o.hash;
+      return gid < o.gid;
+    }
+  };
+  std::vector<Ent> hv(m);
+  for (int64_t g = 0; g < n; ++g)
+    for (int64_t p = offs[g]; p < offs[g + 1]; ++p)
+      hv[p] = {labels[g], flat[p], (uint32_t)g};
+  std::sort(hv.begin(), hv.end());
+  std::vector<int64_t> run_start(m);
+  for (int64_t p = 0; p < m; ++p)
+    run_start[p] = (p > 0 && hv[p].hash == hv[p - 1].hash &&
+                    hv[p].label == hv[p - 1].label)
+                       ? run_start[p - 1] : p;
+  std::vector<int64_t> gcount(n + 1, 0);
+  for (int64_t p = 0; p < m; ++p) gcount[hv[p].gid + 1]++;
+  for (int64_t g = 0; g < n; ++g) gcount[g + 1] += gcount[g];
+  std::vector<int64_t> gpos(m);
+  {
+    std::vector<int64_t> cur(gcount.begin(), gcount.end() - 1);
+    for (int64_t p = 0; p < m; ++p) gpos[cur[hv[p].gid]++] = p;
+  }
+
+  const int radio = (int)(2.0 * std::exp(threshold * (kmer_size - 1)) - 1.0);
+  const double inv_k = 1.0 / kmer_size;
+  const int64_t sub_size = 8;
+  const int64_t tail_n = n % sub_size;
+
+  std::vector<EdgeRec> edges;
+  std::vector<int32_t> inter(n, 0);
+  std::vector<int32_t> stamp(n, 0);
+  int32_t epoch = 0;
+  std::vector<int32_t> touched;
+  touched.reserve(4096);
+
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t size0 = offs[i + 1] - offs[i];
+    if (size0 == 0) continue;
+    touched.clear();
+    if (++epoch == INT32_MAX) {
+      std::fill(stamp.begin(), stamp.end(), 0);
+      epoch = 1;
+    }
+    for (int64_t q = gcount[i]; q < gcount[i + 1]; ++q) {
+      int64_t p = gpos[q];
+      for (int64_t r = run_start[p];
+           r < m && hv[r].hash == hv[p].hash && hv[r].label == hv[p].label;
+           ++r) {
+        int32_t cur = (int32_t)hv[r].gid;
+        if (cur >= i) break;  // gid ascending within run; only j < i
+        if (stamp[cur] != epoch) {
+          stamp[cur] = epoch;
+          inter[cur] = 1;
+          touched.push_back(cur);
+        } else {
+          inter[cur]++;
+        }
+      }
+    }
+    for (int32_t j : touched) {
+      const int64_t size1 = offs[j + 1] - offs[j];
+      if (size1 == 0) continue;
+      const int64_t mn = size0 < size1 ? size0 : size1;
+      const int64_t mx = size0 > size1 ? size0 : size1;
+      if (mx > (int64_t)radio * mn) continue;
+      const int32_t common = inter[j];
+      double dist;
+      if (!containment) {
+        const int64_t denom = size0 + size1 - common;
+        double jac = denom == 0 ? 0.0 : (double)common / (double)denom;
+        if (jac == 1.0) dist = 0.0;
+        else if (jac == 0.0) dist = 1.0;
+        else dist = -inv_k * std::log(2.0 * jac / (1.0 + jac));
+      } else {
+        double c = mn == 0 ? 0.0 : (double)common / (double)mn;
+        if (c == 1.0) dist = 0.0;
+        else if (c == 0.0) dist = 1.0;
+        else dist = -inv_k * std::log(c);
+      }
+      edges.push_back({(int32_t)i, j, dist});
+    }
+    if (i < n - tail_n && (i + 1) % sub_size == 0)
+      kruskal_reduce_parity(edges, (int)n);
+  }
+  if (tail_n > 0 && !edges.empty()) kruskal_reduce_parity(edges, (int)n);
+  kruskal_reduce_parity(edges, (int)n);
+  out.ei.reserve(edges.size());
+  out.ej.reserve(edges.size());
+  out.ed.reserve(edges.size());
+  for (auto& e : edges) {
+    out.ei.push_back(e.i);
+    out.ej.push_back(e.j);
+    out.ed.push_back(e.d);
+  }
+  return out;
+}
+
+}  // namespace
+
+extern "C" void* rtc_intra_mst_u32(const uint32_t* flat, const int64_t* offs,
+                                   int64_t n, const int32_t* labels,
+                                   double threshold, int kmer_size,
+                                   int containment, int32_t* has_cross,
+                                   int abort_on_cross) {
+  return new MstOut(intra_mst_engine<uint32_t>(flat, offs, n, labels,
+                                               threshold, kmer_size,
+                                               containment != 0, has_cross,
+                                               abort_on_cross != 0));
+}
+extern "C" void* rtc_intra_mst_u64(const uint64_t* flat, const int64_t* offs,
+                                   int64_t n, const int32_t* labels,
+                                   double threshold, int kmer_size,
+                                   int containment, int32_t* has_cross,
+                                   int abort_on_cross) {
+  return new MstOut(intra_mst_engine<uint64_t>(flat, offs, n, labels,
+                                               threshold, kmer_size,
+                                               containment != 0, has_cross,
+                                               abort_on_cross != 0));
+}

@@ -52,6 +52,8 @@ def threshold_clusters_device(
     n = len(hashes)
     if n == 0:
         return []
+    bits = int(os.environ.get("RTC_CLUSTER_BITS", bits))
+    row_block = int(os.environ.get("RTC_CLUSTER_RB", row_block))
     engine = os.environ.get("RTC_CLUSTER_ENGINE", engine)
     if engine == "auto":
         engine = "lp" if n > 16384 else "stream"
@@ -82,6 +84,72 @@ def threshold_clusters_device(
                       np.asarray(kept_j, dtype=np.int64),
                       np.asarray(kept_d, dtype=np.float64)), n)
     return clusters_from_forest(forest, n)
+
+
+def threshold_clusters_device_exact_order(
+    hashes: List[np.ndarray],
+    threshold: float,
+    kmer_size: int,
+    is_containment: bool = False,
+    **kwargs,
+) -> "tuple[List[List[int]], bool]":
+    """Device-partition clusters with the reference's -t 1 member order.
+
+    Phase 1 (device): exact partition via threshold_clusters_device.
+    Phase 2 (host): rtc_intra_mst replays the reference's serial
+    streaming-Kruskal cadence (subSize=8 blocks by global id, unstable
+    dist-only std::sort + Kruskal, MST.cpp:388-766) over the
+    WITHIN-cluster candidate stream, cuts at the threshold and BFS-orders
+    members exactly like generateClusterWithBfs (MST.cpp:109-142).
+
+    Returns (clusters, certified): the member order is ALWAYS the -t 1
+    reference's.  ``certified`` True means the cheap intra replay
+    sufficed: no hash is shared across clusters, so the replayed stream
+    (and every unstable-tie permutation in it) provably equals the global
+    -t 1 engine's.  When cross-cluster sharing exists, tie groups
+    interleaved with cross-cluster candidates can permute differently
+    (measured: 128/4800 tie-substituted tree edges on an adversarial
+    corpus), so the full global parity engine runs instead — same bytes,
+    serial-cadence cost (the -t 1 tax is inherent: the reference's output
+    is DEFINED by an unstable introsort permutation chain over the full
+    candidate stream; no restricted replay can shortcut it)."""
+    from ..cluster.mst import clusters_from_forest, cut_forest
+    from ..utils.native import native_intra_mst, native_mst
+
+    n = len(hashes)
+    clusters = threshold_clusters_device(hashes, threshold, kmer_size,
+                                         is_containment=is_containment,
+                                         **kwargs)
+    res = native_intra_mst(hashes,
+                           labels_from_clusters(clusters, n), threshold,
+                           kmer_size, is_containment, abort_on_cross=True)
+    if res is None:  # no native library: keep the fast BFS order
+        return clusters, False
+    edges, has_cross = res
+    if has_cross:
+        full = native_mst(hashes, threshold, kmer_size, is_containment,
+                          0, False, 1)
+        if full is None:
+            return clusters, False
+        edges = full[0]
+    ordered = clusters_from_forest(cut_forest(edges, threshold), n)
+    # partition-identity guard: the (label_a, label_b) relation must be a
+    # bijection (distinct pairs == clusters on both sides)
+    la = labels_from_clusters(clusters, n).astype(np.int64)
+    lb = labels_from_clusters(ordered, n).astype(np.int64)
+    if len(np.unique(la * len(ordered) + lb)) != len(clusters) or \
+            len(clusters) != len(ordered):
+        raise RuntimeError(
+            "intra-MST order finish changed the partition "
+            f"({len(ordered)} vs {len(clusters)} clusters) — engine bug")
+    return ordered, not has_cross
+
+
+def labels_from_clusters(clusters: List[List[int]], n: int) -> np.ndarray:
+    labels = np.empty(n, dtype=np.int32)
+    for ci, members in enumerate(clusters):
+        labels[members] = ci
+    return labels
 
 
 def gated_verify_merge(uf, csr, sizes, ii, jj, threshold, kmer_size,

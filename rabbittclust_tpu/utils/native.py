@@ -138,6 +138,12 @@ def load_native():
     lib.rtc_csr_build.argtypes = [
         ctypes.c_int64, ctypes.c_int64, _c_i64p, _c_i64p, _c_f64p,
         _c_i64p, _c_i64p, _c_f64p, _c_f64p]
+    for fn in ("rtc_intra_mst_u32", "rtc_intra_mst_u64"):
+        getattr(lib, fn).restype = ctypes.c_void_p
+        getattr(lib, fn).argtypes = [
+            ctypes.c_void_p, _c_i64p, ctypes.c_int64, _c_i32p,
+            ctypes.c_double, ctypes.c_int, ctypes.c_int, _c_i32p,
+            ctypes.c_int]
     return lib
 
 
@@ -201,6 +207,46 @@ def native_mst(hashes, threshold: float, kmer_size: int,
             dense = dense.reshape(100, n).astype(np.int64)
             ani = ani.astype(np.int64)
         return ((ei.astype(np.int64), ej.astype(np.int64), ed), dense, ani)
+    finally:
+        lib.rtc_mst_free(h)
+
+
+def native_intra_mst(hashes, labels, threshold: float, kmer_size: int,
+                     is_containment: bool, abort_on_cross: bool = False):
+    """Intra-partition -t 1 cadence replay (rtc_intra_mst_*): the MST of
+    each cluster's internal candidate edges, in the reference's final edge
+    order — cut at the threshold this yields the byte-identical
+    generateClusterWithBfs member order for a known-exact partition.
+    Returns (edges (i, j, d), has_cross) — ``has_cross`` False certifies
+    the replay byte-identical to the global -t 1 engine (no hash shared
+    across clusters) — or None if the native library is unavailable.
+    ``abort_on_cross`` returns empty edges immediately when the
+    certificate fails (the caller reruns the full global engine)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    n = len(hashes)
+    use64 = n > 0 and hashes[0].dtype == np.uint64
+    flat, offs = flatten_csr(hashes, use64)
+    labels = np.ascontiguousarray(labels, dtype=np.int32)
+    has_cross = np.zeros(1, dtype=np.int32)
+    fn = lib.rtc_intra_mst_u64 if use64 else lib.rtc_intra_mst_u32
+    h = fn(flat.ctypes.data, offs.ctypes.data_as(_c_i64p), n,
+           labels.ctypes.data_as(_c_i32p), float(threshold),
+           int(kmer_size), int(is_containment),
+           has_cross.ctypes.data_as(_c_i32p), int(abort_on_cross))
+    try:
+        m = int(lib.rtc_mst_edge_count(h))
+        ei = np.empty(m, dtype=np.int32)
+        ej = np.empty(m, dtype=np.int32)
+        ed = np.empty(m, dtype=np.float64)
+        if m:
+            lib.rtc_mst_edges(h, ei.ctypes.data_as(_c_i32p),
+                              ej.ctypes.data_as(_c_i32p),
+                              ed.ctypes.data_as(
+                                  ctypes.POINTER(ctypes.c_double)))
+        return ((ei.astype(np.int64), ej.astype(np.int64), ed),
+                bool(has_cross[0]))
     finally:
         lib.rtc_mst_free(h)
 

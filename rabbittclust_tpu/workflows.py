@@ -393,28 +393,49 @@ def compute_kssd_clusters(ss: SketchSet, p: KssdParams, threshold: float,
     # MST module
     from .utils.timers import Timer
     timer = Timer()
-    if (os.environ.get("RTC_MST_CLUSTERS_FAST", "0") == "1"
+    if (os.environ.get("RTC_MST_CLUSTERS_FAST", "1") != "0"
             and opts.use_device and opts.no_save and not opts.dense
             and not opts.save_rep and not opts.newick_tree
             and not opts.phylip_tree and not opts.nexus_tree
             and not opts.linkage_matrix and not opts.auto_threshold
             and not opts.stability and opts.dedup_dist < 0.0
             and opts.reps_per_cluster <= 0):
-        # OPT-IN MST-free clusters path (-e with no MST consumer): the
-        # gated-verify / label-propagation engine produces the IDENTICAL
-        # partition with O(N)-per-round pulls at scale (the bench headline
-        # engine — 131k genomes in ~9 s on one v5e chip), but within-
-        # cluster member order is BFS over its distance-sorted verified
-        # spanning forest, which can differ from the reference's MST-cut
-        # order (src/MST.cpp:109-142) — hence opt-in, not default
-        from .ops.cluster_fast import threshold_clusters_device
-        log("-----using the MST-free device cluster engine "
-            "(RTC_MST_CLUSTERS_FAST=1; partition-exact, member order "
-            "may differ from the MST cut)")
-        with timer.phase("computing clusters (device, MST-free)"):
-            clusters = threshold_clusters_device(
-                ss.hashes, threshold, p.kmer_size,
-                is_containment=is_containment)
+        # DEFAULT MST-free clusters path for `--device -e` with no MST
+        # consumer (RTC_MST_CLUSTERS_FAST=0 restores the dense MST
+        # engine): the gated-verify / label-propagation engine produces
+        # the IDENTICAL partition with O(N)-per-round pulls at scale (the
+        # bench headline engine).  Member order:
+        #   -t 1  -> ALWAYS the reference's serial order: the certified
+        #            intra-cluster cadence replay when no hash crosses
+        #            clusters (rtc_intra_mst), else the full serial
+        #            parity engine (byte-identical goldens at 400/5k);
+        #   -t >1 -> BFS over the distance-sorted verified spanning
+        #            forest (the reference's own member order is
+        #            completion-order nondeterministic multithreaded,
+        #            MST.cpp:562-571, so there is no byte target here).
+        if threads == 1:
+            from .ops.cluster_fast import (
+                threshold_clusters_device_exact_order)
+            log("-----using the MST-free device cluster engine "
+                "(-t 1: reference serial member order)")
+            with timer.phase("computing clusters (device, MST-free)"):
+                clusters, exact = threshold_clusters_device_exact_order(
+                    ss.hashes, threshold, p.kmer_size,
+                    is_containment=is_containment)
+            if not exact:
+                log("-----note: clusters share hashes across the "
+                    "threshold partition — ran the full serial engine "
+                    "for the reference-exact member order (the -t 1 "
+                    "output is defined by its serial sort cadence)")
+        else:
+            from .ops.cluster_fast import threshold_clusters_device
+            log("-----using the MST-free device cluster engine "
+                "(partition-exact; member order is deterministic but "
+                "not the serial reference's — use -t 1 for that)")
+            with timer.phase("computing clusters (device, MST-free)"):
+                clusters = threshold_clusters_device(
+                    ss.hashes, threshold, p.kmer_size,
+                    is_containment=is_containment)
         write_cluster_file(output_file, clusters, ss, threshold)
         log(f"-----write the cluster result into: {output_file}")
         log(f"-----the number of clusters is: {len(clusters)}")

@@ -725,3 +725,46 @@ def test_gated_verify_merge_native_matches_fallback():
             import itertools
             for a, b in itertools.combinations(range(60), 2):
                 assert (rn[a] == rn[b]) == (rf[a] == rf[b]), (a, b)
+
+
+def test_exact_order_matches_serial_engine_both_arms(monkeypatch):
+    """threshold_clusters_device_exact_order == the -t 1 host engine's
+    member order on BOTH arms: (a) certified corpus (disjoint per-cluster
+    hash ranges -> intra replay, certified=True), (b) cross-sharing corpus
+    (random extras shared across clusters -> full-engine fallback)."""
+    import numpy as np
+    from rabbittclust_tpu.cluster.mst import (clusters_from_forest,
+                                              compute_mst, cut_forest)
+    from rabbittclust_tpu.ops.cluster_fast import (
+        threshold_clusters_device_exact_order)
+    from rabbittclust_tpu.utils.native import have_native
+
+    if not have_native():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+
+    def corpus(cross):
+        hashes = []
+        for c in range(12):
+            lo = 0 if cross else c * (1 << 24)
+            span = 1 << 28 if cross else 1 << 24
+            base = np.unique(
+                (lo + rng.integers(0, span, size=60)).astype(np.uint32))
+            for g in range(15):
+                keep = base[rng.random(len(base)) < 0.8]
+                extra = (lo + rng.integers(0, span, size=8)).astype(
+                    np.uint32)
+                hashes.append(np.unique(np.concatenate([keep, extra])))
+        return hashes
+
+    for cross in (False, True):
+        hashes = corpus(cross)
+        n = len(hashes)
+        res = compute_mst(hashes, 0.05, 21, threads=1)
+        expect = clusters_from_forest(cut_forest(res.mst, 0.05), n)
+        got, certified = threshold_clusters_device_exact_order(
+            hashes, 0.05, 21, bits=1024, row_block=128)
+        assert got == expect, f"cross={cross}"
+        if not cross:
+            assert certified  # disjoint ranges must certify

@@ -62,10 +62,12 @@ def run_ref(oracle, tool, args, cwd):
     assert r.returncode == 0, r.stderr[-1500:]
 
 
-def run_ours(module, args, cwd):
+def run_ours(module, args, cwd, env_extra=None):
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))
+    if env_extra:
+        env.update(env_extra)
     r = subprocess.run([sys.executable, "-m",
                         f"rabbittclust_tpu.cli.{module}", *args], cwd=cwd,
                        capture_output=True, text=True, env=env)

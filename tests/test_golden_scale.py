@@ -161,3 +161,56 @@ def test_scale_device_engine_partition_matches_host(varied_genomes):
     res = compute_mst(ss.hashes, 0.05, p.kmer_size)
     ch = clusters_from_forest(cut_forest(res.mst, 0.05), len(ss))
     assert sorted(map(sorted, cd)) == sorted(map(sorted, ch))
+
+
+def _device_fast_pair(oracle, fx, tmp_path, monkeypatch, extra):
+    """clust-mst --device -e -t 1 (the DEFAULT MST-free device clusters
+    path since round 5) vs the reference: byte-identical .cluster, always.
+    With an explicit -k 21 no hash crosses clusters on these corpora, so
+    the certified intra-cluster cadence replay (rtc_intra_mst) supplies
+    the order; with the tuned k cross-cluster sharing exists and the path
+    falls back to the full serial parity engine — both arms are byte
+    targets.  In-process (conftest pins the CPU backend); the reference
+    cannot run -e from fresh genomes (replicated quirk), so its full
+    run's .cluster is the byte target."""
+    from rabbittclust_tpu.cli.clust_mst import main as mst_main
+    ref_d = tmp_path / "ref"
+    ref_d.mkdir()
+    args = ["--fast", "-l", "-i", fx.list_file, "-d", "0.05", *extra]
+    run_ref(oracle, "mst", [*args, "-o", "r.cluster"], str(ref_d))
+    monkeypatch.setenv("RTC_CLUSTER_BITS", "2048")
+    monkeypatch.setenv("RTC_CLUSTER_RB", "256")
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "o.cluster")
+    mst_main([*args, "-e", "--device", "-t", "1", "-o", out])
+    assert same_bytes(str(ref_d / "r.cluster"), out)
+
+
+@pytest.mark.slow
+def test_scale_mst_device_fast_varied_byte_identical(oracle, varied_genomes,
+                                                     tmp_path, monkeypatch):
+    """Tuned k: cross-cluster kmer sharing -> full-engine fallback arm."""
+    _device_fast_pair(oracle, varied_genomes, tmp_path, monkeypatch,
+                      ["--drlevel", "2"])
+
+
+@pytest.mark.slow
+def test_scale_mst_device_fast_certified_byte_identical(oracle,
+                                                        varied_genomes,
+                                                        tmp_path,
+                                                        monkeypatch):
+    """Explicit -k 21: no cross-cluster sharing -> the certified intra
+    replay arm supplies the reference order without the full engine."""
+    _device_fast_pair(oracle, varied_genomes, tmp_path, monkeypatch,
+                      ["--drlevel", "2", "-k", "21"])
+
+
+@pytest.mark.slow
+def test_scale_mst_device_fast_tie_pressure_byte_identical(oracle,
+                                                           tie_genomes,
+                                                           tmp_path,
+                                                           monkeypatch):
+    """Equal-length corpus at drlevel=2: the replay must reproduce the
+    unstable-sort tie permutations, not just tie-free agreement."""
+    _device_fast_pair(oracle, tie_genomes, tmp_path, monkeypatch,
+                      ["--drlevel", "2", "-k", "21"])

@@ -132,3 +132,25 @@ def test_e2e_bench_script_smoke(oracle):
     assert r.returncode == 0, r.stderr[-1500:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["partitions_equal"] and out["clusters"] > 0
+
+
+@pytest.mark.slow
+def test_mst_5k_device_fast_path_byte_identical(oracle, corpus5k, tmp_path,
+                                                monkeypatch):
+    """Round-5 VERDICT item 2: plain `clust-mst --device -e -t 1` (the
+    DEFAULT MST-free clusters path — no env gate) is byte-identical to the
+    reference at 5k genomes.  With -k 21 the corpus certifies (no hash
+    crosses clusters), so the order comes from the intra-cluster cadence
+    replay on top of the device partition, not the full engine."""
+    from rabbittclust_tpu.cli.clust_mst import main as mst_main
+    ref_d = tmp_path / "ref"
+    ref_d.mkdir()
+    args = ["--fast", "-l", "-i", corpus5k, "-d", "0.05", "--drlevel",
+            str(DRLEVEL), "-k", "21"]
+    run_ref(oracle, "mst", [*args, "-o", "r.cluster"], str(ref_d))
+    monkeypatch.setenv("RTC_CLUSTER_BITS", "2048")
+    monkeypatch.setenv("RTC_CLUSTER_RB", "512")
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "o.cluster")
+    mst_main([*args, "-e", "--device", "-t", "1", "-o", out])
+    assert same_bytes(str(ref_d / "r.cluster"), out)
