@@ -28,6 +28,7 @@
 #include <algorithm>
 #include <unordered_map>
 #include <zlib.h>
+#include <parallel/algorithm>
 #include <omp.h>
 
 // ---------------------------------------------------------------------------
@@ -235,6 +236,30 @@ struct KssdSketcher {
   U64Set set;
 
   void update(const char* seq, int64_t len) {
+    // Software-pipelined: the shuffle table is 64 MB (4^(2*half_subk)
+    // int32 entries) and dim_id is uniform over it, so the naive loop
+    // stalls on one cache miss per kmer.  Buffer a block of (uni, dim_id)
+    // pairs, issuing the table prefetch as soon as dim_id is known; by
+    // the time the block drains, the lines are resident.  Set contents
+    // are order-independent (U64Set dedupe + final sort), so results are
+    // bit-identical to the serial loop.
+    constexpr int BL = 256;
+    uint64_t uni_buf[BL];
+    uint32_t dim_buf[BL];
+    int nb = 0;
+    auto drain = [&]() {
+      for (int t = 0; t < nb; ++t) {
+        int32_t pf = shuffled_dim[dim_buf[t]];
+        if ((uint32_t)pf >= (uint32_t)p.dim_end) continue;
+        uint64_t uni = uni_buf[t];
+        uint64_t dr = (((uni & p.undomask0) |
+                        ((uni & p.undomask1) << p.shift1)) >>
+                       p.drlevel_x4) |
+                      (uint64_t)pf;
+        set.insert(dr);
+      }
+      nb = 0;
+    };
     uint64_t tuple = 0, rvs = 0;
     int base = 1;
     const int ksz = p.kmer_size;
@@ -247,13 +272,10 @@ struct KssdSketcher {
         if (__builtin_expect(base > ksz, 0)) {
           uint64_t uni = tuple < rvs ? tuple : rvs;
           uint32_t dim_id = (uint32_t)((uni & p.domask) >> p.half_outctx_len_x2);
-          int32_t pf = shuffled_dim[dim_id];
-          if ((uint32_t)pf >= (uint32_t)p.dim_end) continue;
-          uint64_t dr = (((uni & p.undomask0) |
-                          ((uni & p.undomask1) << p.shift1)) >>
-                         p.drlevel_x4) |
-                        (uint64_t)pf;
-          set.insert(dr);
+          __builtin_prefetch(&shuffled_dim[dim_id], 0, 1);
+          uni_buf[nb] = uni;
+          dim_buf[nb] = dim_id;
+          if (__builtin_expect(++nb == BL, 0)) drain();
         }
       } else {
         base = 1;
@@ -261,6 +283,7 @@ struct KssdSketcher {
         rvs = 0;
       }
     }
+    drain();
   }
 };
 
@@ -890,6 +913,47 @@ const char* rtc_result_file(void* h, int64_t i) {
 }
 void rtc_result_free(void* h) { delete (SketchResult*)h; }
 
+// ---- bulk result extraction (one ctypes call per field instead of 8 per
+// genome: the per-genome Python loop cost ~0.5 s at 10k genomes) ----------
+void rtc_result_meta(void* h, int32_t* ok, int64_t* seq0, int64_t* total,
+                     int64_t* nseq, int64_t* psize, int64_t* ssize) {
+  auto& gs = ((SketchResult*)h)->genomes;
+  for (size_t i = 0; i < gs.size(); ++i) {
+    ok[i] = gs[i].ok;
+    seq0[i] = gs[i].seq0_len;
+    total[i] = gs[i].total_len;
+    nseq[i] = gs[i].num_seqs;
+    psize[i] = gs[i].param_size;
+    ssize[i] = (int64_t)gs[i].hashes.size();
+  }
+}
+// field: 0 = name, 1 = comment, 2 = file_name; strings '\0'-joined
+int64_t rtc_result_strings_len(void* h, int field) {
+  auto& gs = ((SketchResult*)h)->genomes;
+  int64_t total = 0;
+  for (auto& g : gs)
+    total += 1 + (int64_t)(field == 0 ? g.name
+                           : field == 1 ? g.comment : g.file_name).size();
+  return total;
+}
+void rtc_result_strings(void* h, int field, char* out) {
+  auto& gs = ((SketchResult*)h)->genomes;
+  for (auto& g : gs) {
+    const std::string& s = field == 0 ? g.name
+                           : field == 1 ? g.comment : g.file_name;
+    memcpy(out, s.data(), s.size());
+    out += s.size();
+    *out++ = '\0';
+  }
+}
+void rtc_result_hashes_all(void* h, uint64_t* out) {
+  auto& gs = ((SketchResult*)h)->genomes;
+  for (auto& g : gs) {
+    memcpy(out, g.hashes.data(), g.hashes.size() * sizeof(uint64_t));
+    out += g.hashes.size();
+  }
+}
+
 // ---- incremental single sketcher (tests / streaming) ----------------------
 
 void* rtc_kssd_create(int half_k, int half_subk, int drlevel,
@@ -1144,7 +1208,10 @@ MstOut mst_engine(const HashT* flat, const int64_t* offs, int64_t n,
   for (int64_t g = 0; g < n; ++g)
     for (int64_t p = offs[g]; p < offs[g + 1]; ++p)
       hv[p] = {flat[p], (uint32_t)g};
-  std::sort(hv.begin(), hv.end());
+  // (hash, gid) keys are unique, so the parallel sort's output array is
+  // identical to std::sort's (no tie permutation to replicate)
+  if (threads > 1) __gnu_parallel::sort(hv.begin(), hv.end());
+  else std::sort(hv.begin(), hv.end());
   // run starts per position + per-genome position lists
   std::vector<int64_t> run_start(m);
   for (int64_t p = 0; p < m; ++p)
@@ -1738,7 +1805,8 @@ PairsOut pairs_engine(const HashT* flat, const int64_t* offs, int64_t n,
   for (int64_t g = 0; g < n; ++g)
     for (int64_t p = offs[g]; p < offs[g + 1]; ++p)
       hv[p] = {flat[p], (uint32_t)g};
-  std::sort(hv.begin(), hv.end());
+  if (threads > 1) __gnu_parallel::sort(hv.begin(), hv.end());
+  else std::sort(hv.begin(), hv.end());
   std::vector<int64_t> run_start(m);
   for (int64_t p = 0; p < m; ++p)
     run_start[p] = (p > 0 && hv[p].first == hv[p - 1].first)
@@ -2403,4 +2471,31 @@ extern "C" void* rtc_intra_mst_u64(const uint64_t* flat, const int64_t* offs,
                                                threshold, kmer_size,
                                                containment != 0, has_cross,
                                                abort_on_cross != 0));
+}
+
+// Parallel in-place u64 sort (save_kssd_index posting keys; numpy's
+// single-threaded sort costs ~0.3 s at 4M postings on this box).
+extern "C" void rtc_sort_u64(uint64_t* arr, int64_t n, int threads) {
+  omp_set_num_threads(threads > 0 ? threads : omp_get_max_threads());
+  __gnu_parallel::sort(arr, arr + n);
+}
+
+// Posting-key pack/unpack for save_kssd_index (the numpy temporaries cost
+// ~0.45 s at 4M postings; these + rtc_sort_u64 replace them).
+extern "C" void rtc_pack_postings_u32(const uint32_t* flat,
+                                      const int64_t* offs, int64_t n,
+                                      uint64_t* key, int threads) {
+#pragma omp parallel for schedule(static) num_threads(threads)
+  for (int64_t g = 0; g < n; ++g)
+    for (int64_t p = offs[g]; p < offs[g + 1]; ++p)
+      key[p] = ((uint64_t)flat[p] << 32) | (uint64_t)(uint32_t)g;
+}
+extern "C" void rtc_unpack_postings_u32(const uint64_t* key, int64_t m,
+                                        uint32_t* hv, uint32_t* gid,
+                                        int threads) {
+#pragma omp parallel for schedule(static) num_threads(threads)
+  for (int64_t p = 0; p < m; ++p) {
+    hv[p] = (uint32_t)(key[p] >> 32);
+    gid[p] = (uint32_t)key[p];
+  }
 }

@@ -202,17 +202,22 @@ def sketch_files_kssd(files, min_len: int, kmer_size: int, drlevel: int,
             p.drlevel, table.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             threads)
         res = native_mod.SketchResultHandle(lib, ptr)
-        for i in range(len(res)):
-            g = res.genome(i)
-            if not g["ok"]:
-                raise FileNotFoundError(f"cannot open the genome file: {files[i]}")
-            if g["total_len"] < min_len:
-                continue
-            ss.append_genome(
-                file_name=g["file"], name=g["name"], comment=g["comment"],
-                seq0_len=g["seq0_len"], total_len=g["total_len"],
-                num_seqs=g["num_seqs"],
-                hashes=_finalize_dtype(g["hashes"], p.use64))
+        b = res.bulk()
+        bad = np.flatnonzero(b["ok"] == 0)
+        if len(bad):
+            raise FileNotFoundError(
+                f"cannot open the genome file: {files[int(bad[0])]}")
+        flat = _finalize_dtype(b["flat_hashes"], p.use64)
+        offs = b["offs"]
+        keep = np.flatnonzero(b["total_len"] >= min_len)
+        ss.file_names = [b["files"][i] for i in keep]
+        ss.names = [b["names"][i] for i in keep]
+        ss.comments = [b["comments"][i] for i in keep]
+        ss.seq0_lens = b["seq0_len"][keep].tolist()
+        ss.total_lens = b["total_len"][keep].tolist()
+        ss.num_seqs = b["num_seqs"][keep].tolist()
+        ss.param_sizes = [0] * len(keep)
+        ss.hashes = [flat[offs[i]:offs[i + 1]] for i in keep.tolist()]
         return ss, p
     # NumPy fallback
     from ..io.fasta import read_fasta
@@ -246,14 +251,18 @@ def sketch_sequences_kssd(input_file: str, min_len: int, kmer_size: int,
             p.drlevel, table.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             threads)
         res = native_mod.SketchResultHandle(lib, ptr)
-        for i in range(len(res)):
-            g = res.genome(i)
-            if g["total_len"] < min_len:
-                continue
-            ss.append_genome(
-                file_name=g["file"], name=g["name"], comment=g["comment"],
-                seq0_len=g["seq0_len"], total_len=g["total_len"], num_seqs=1,
-                hashes=_finalize_dtype(g["hashes"], p.use64))
+        b = res.bulk()
+        flat = _finalize_dtype(b["flat_hashes"], p.use64)
+        offs = b["offs"]
+        keep = np.flatnonzero(b["total_len"] >= min_len)
+        ss.file_names = [b["files"][i] for i in keep]
+        ss.names = [b["names"][i] for i in keep]
+        ss.comments = [b["comments"][i] for i in keep]
+        ss.seq0_lens = b["seq0_len"][keep].tolist()
+        ss.total_lens = b["total_len"][keep].tolist()
+        ss.num_seqs = [1] * len(keep)
+        ss.param_sizes = [0] * len(keep)
+        ss.hashes = [flat[offs[i]:offs[i + 1]] for i in keep.tolist()]
         return ss, p
     from ..io.fasta import read_fasta
     for name, comment, seq in read_fasta(input_file):

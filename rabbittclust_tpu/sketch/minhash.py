@@ -83,17 +83,22 @@ def sketch_files_minhash(files, min_len: int, p: MinHashParams,
                 p.sketch_size, 0,
                 ctypes.cast(None, ctypes.POINTER(ctypes.c_int32)), threads)
         res = native_mod.SketchResultHandle(lib, ptr)
-        for i in range(len(res)):
-            g = res.genome(i)
-            if not g["ok"]:
-                raise FileNotFoundError(f"cannot open the genome file: {files[i]}")
-            if g["total_len"] < min_len:
-                continue
-            ss.append_genome(
-                file_name=g["file"], name=g["name"], comment=g["comment"],
-                seq0_len=g["seq0_len"], total_len=g["total_len"],
-                num_seqs=g["num_seqs"], hashes=g["hashes"],
-                param_size=g["param_size"])
+        b = res.bulk()
+        bad = np.flatnonzero(b["ok"] == 0)
+        if len(bad):
+            raise FileNotFoundError(
+                f"cannot open the genome file: {files[int(bad[0])]}")
+        flat = b["flat_hashes"]
+        offs = b["offs"]
+        keep = np.flatnonzero(b["total_len"] >= min_len)
+        ss.file_names = [b["files"][i] for i in keep]
+        ss.names = [b["names"][i] for i in keep]
+        ss.comments = [b["comments"][i] for i in keep]
+        ss.seq0_lens = b["seq0_len"][keep].tolist()
+        ss.total_lens = b["total_len"][keep].tolist()
+        ss.num_seqs = b["num_seqs"][keep].tolist()
+        ss.param_sizes = b["param_size"][keep].tolist()
+        ss.hashes = [flat[offs[i]:offs[i + 1]] for i in keep.tolist()]
         return ss
     from ..io.fasta import read_fasta
     for fpath in files:
@@ -128,14 +133,18 @@ def sketch_sequences_minhash(input_file: str, min_len: int, p: MinHashParams,
             p.contain_compress if p.is_containment else 0,
             ctypes.cast(None, ctypes.POINTER(ctypes.c_int32)), threads)
         res = native_mod.SketchResultHandle(lib, ptr)
-        for i in range(len(res)):
-            g = res.genome(i)
-            if g["total_len"] < min_len:
-                continue
-            ss.append_genome(
-                file_name=g["file"], name=g["name"], comment=g["comment"],
-                seq0_len=g["seq0_len"], total_len=g["total_len"], num_seqs=1,
-                hashes=g["hashes"], param_size=g["param_size"])
+        b = res.bulk()
+        flat = b["flat_hashes"]
+        offs = b["offs"]
+        keep = np.flatnonzero(b["total_len"] >= min_len)
+        ss.file_names = [b["files"][i] for i in keep]
+        ss.names = [b["names"][i] for i in keep]
+        ss.comments = [b["comments"][i] for i in keep]
+        ss.seq0_lens = b["seq0_len"][keep].tolist()
+        ss.total_lens = b["total_len"][keep].tolist()
+        ss.num_seqs = [1] * len(keep)
+        ss.param_sizes = b["param_size"][keep].tolist()
+        ss.hashes = [flat[offs[i]:offs[i + 1]] for i in keep.tolist()]
         return ss
     from ..io.fasta import read_fasta
     for name, comment, seq in read_fasta(input_file):

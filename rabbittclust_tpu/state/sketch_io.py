@@ -258,7 +258,15 @@ def _sorted_postings(hv: np.ndarray, gid: np.ndarray, wide_hash: bool):
     if not wide_hash and (len(gid) == 0 or int(gid[-1]) < (1 << 31)):
         key = (hv.astype(np.uint64) << np.uint64(32)) | \
             gid.astype(np.uint64)
-        key.sort()
+        from ..utils import native as native_mod
+        lib = native_mod.load_native()
+        if lib is not None and len(key):
+            import ctypes
+            lib.rtc_sort_u64(
+                key.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+                len(key), os.cpu_count() or 1)
+        else:
+            key.sort()
         return ((key >> np.uint64(32)).astype(np.uint32),
                 key.astype(np.uint32))  # low 32 bits
     order = np.argsort(hv, kind="stable")
@@ -269,9 +277,33 @@ def save_kssd_index(hashes: List[np.ndarray], use64: bool, folder: str) -> None:
     """Global inverted index from per-genome sorted hash arrays; entries
     written sorted by hash (deterministic; loader is order-agnostic)."""
     ensure_folder(folder)
-    from ..cluster.mst import flatten_sketches
-    hv, gid = flatten_sketches(hashes)
-    hv_s, gid_s = _sorted_postings(hv, gid, use64)
+    from ..utils import native as native_mod
+    lib = native_mod.load_native()
+    nthreads = os.cpu_count() or 1
+    if lib is not None and not use64 and len(hashes) < (1 << 31):
+        # all-native postings build: flatten -> pack (hash<<32|gid) ->
+        # parallel sort -> unpack, no numpy temporaries (~0.45 s at 4M
+        # postings); keys are unique so output == the stable-sort path
+        import ctypes
+        flat, offs = native_mod.flatten_csr(hashes, False)
+        m = len(flat)
+        key = np.empty(m, dtype=np.uint64)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.rtc_pack_postings_u32(
+            flat.ctypes.data_as(u32p), offs.ctypes.data_as(i64p),
+            len(hashes), key.ctypes.data_as(u64p), nthreads)
+        lib.rtc_sort_u64(key.ctypes.data_as(u64p), m, nthreads)
+        hv_s = np.empty(m, dtype=np.uint32)
+        gid_s = np.empty(m, dtype=np.uint32)
+        lib.rtc_unpack_postings_u32(
+            key.ctypes.data_as(u64p), m, hv_s.ctypes.data_as(u32p),
+            gid_s.ctypes.data_as(u32p), nthreads)
+    else:
+        from ..cluster.mst import flatten_sketches
+        hv, gid = flatten_sketches(hashes)
+        hv_s, gid_s = _sorted_postings(hv, gid, use64)
     if len(hv_s):
         starts = np.flatnonzero(np.r_[True, hv_s[1:] != hv_s[:-1]])
         uniq = hv_s[starts]

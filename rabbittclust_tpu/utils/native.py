@@ -93,6 +93,14 @@ def load_native():
         getattr(lib, fn).restype = ctypes.c_char_p
         getattr(lib, fn).argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.rtc_result_free.argtypes = [ctypes.c_void_p]
+    lib.rtc_result_meta.argtypes = [
+        ctypes.c_void_p, _c_i32p, _c_i64p, _c_i64p, _c_i64p, _c_i64p,
+        _c_i64p]
+    lib.rtc_result_strings_len.restype = ctypes.c_int64
+    lib.rtc_result_strings_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.rtc_result_strings.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                       ctypes.c_void_p]
+    lib.rtc_result_hashes_all.argtypes = [ctypes.c_void_p, _c_u64p]
     lib.rtc_kssd_create.restype = ctypes.c_void_p
     lib.rtc_kssd_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int, _c_i32p]
     lib.rtc_kssd_reset.argtypes = [ctypes.c_void_p]
@@ -138,6 +146,11 @@ def load_native():
     lib.rtc_csr_build.argtypes = [
         ctypes.c_int64, ctypes.c_int64, _c_i64p, _c_i64p, _c_f64p,
         _c_i64p, _c_i64p, _c_f64p, _c_f64p]
+    lib.rtc_sort_u64.argtypes = [_c_u64p, ctypes.c_int64, ctypes.c_int]
+    lib.rtc_pack_postings_u32.argtypes = [_c_u32p, _c_i64p, ctypes.c_int64,
+                                          _c_u64p, ctypes.c_int]
+    lib.rtc_unpack_postings_u32.argtypes = [_c_u64p, ctypes.c_int64,
+                                            _c_u32p, _c_u32p, ctypes.c_int]
     for fn in ("rtc_intra_mst_u32", "rtc_intra_mst_u64"):
         getattr(lib, fn).restype = ctypes.c_void_p
         getattr(lib, fn).argtypes = [
@@ -289,6 +302,48 @@ class SketchResultHandle:
             "num_seqs": int(lib.rtc_result_num_seqs(p, i)),
             "param_size": int(lib.rtc_result_param_size(p, i)),
             "hashes": hashes,
+        }
+
+    def bulk(self):
+        """One-call-per-field extraction of the whole result set (the
+        per-genome accessor loop costs ~0.5 s at 10k genomes).  Returns a
+        dict of arrays/lists: ok, seq0_len, total_len, num_seqs,
+        param_size, plus per-genome ``hashes`` views (uint64) into one
+        flat buffer and decoded name/comment/file lists."""
+        lib, p = self._lib, self._ptr
+        n = len(self)
+        ok = np.empty(n, dtype=np.int32)
+        seq0 = np.empty(n, dtype=np.int64)
+        total = np.empty(n, dtype=np.int64)
+        nseq = np.empty(n, dtype=np.int64)
+        psize = np.empty(n, dtype=np.int64)
+        ssize = np.empty(n, dtype=np.int64)
+        lib.rtc_result_meta(p, ok.ctypes.data_as(_c_i32p),
+                            seq0.ctypes.data_as(_c_i64p),
+                            total.ctypes.data_as(_c_i64p),
+                            nseq.ctypes.data_as(_c_i64p),
+                            psize.ctypes.data_as(_c_i64p),
+                            ssize.ctypes.data_as(_c_i64p))
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ssize, out=offs[1:])
+        flat = np.empty(int(offs[-1]), dtype=np.uint64)
+        if len(flat):
+            lib.rtc_result_hashes_all(p, flat.ctypes.data_as(_c_u64p))
+        strs = []
+        for field in range(3):
+            ln = int(lib.rtc_result_strings_len(p, field))
+            buf = np.empty(ln, dtype=np.uint8)
+            if ln:
+                lib.rtc_result_strings(p, field, buf.ctypes.data)
+            parts = buf.tobytes().split(b"\0")[:n]
+            strs.append(parts)
+        return {
+            "ok": ok, "seq0_len": seq0, "total_len": total,
+            "num_seqs": nseq, "param_size": psize, "offs": offs,
+            "flat_hashes": flat,
+            "names": [b.decode("utf-8", "replace") for b in strs[0]],
+            "comments": [b.decode("utf-8", "replace") for b in strs[1]],
+            "files": [os.fsdecode(b) for b in strs[2]],
         }
 
     def __del__(self):

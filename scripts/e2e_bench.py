@@ -127,7 +127,15 @@ def main() -> int:
     assert r.returncode == 0, r.stderr[-2000:]
 
     env = dict(os.environ)
-    env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
+    if args.device:
+        env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
+    else:
+        # host-only runs never touch a device; the axon sitecustomize
+        # imports jax + registers the TPU plugin at interpreter start
+        # (measured 1.9 s on this box) — a box without a TPU attachment
+        # doesn't pay it, so neither does the host-engine benchmark arm
+        env["PYTHONPATH"] = REPO
+        env.pop("PALLAS_AXON_POOL_IPS", None)
     cmd = [sys.executable, "-m", "rabbittclust_tpu.cli.clust_mst", "--fast",
            "-l", "-i", lst, "-o", "o.cluster", "-d", "0.05", "--drlevel",
            str(args.drlevel), "-t", str(args.threads)]
