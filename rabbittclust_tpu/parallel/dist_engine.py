@@ -898,7 +898,60 @@ def distributed_threshold_clusters_lp(hashes, threshold: float,
                                     threshold, kmer_size, is_containment,
                                     kept_i, kept_j, kept_d)
 
+    DIST_LP_LAST.update(rounds=rounds, n_pad=n_pad, n_dev=n_dev,
+                        bits=bits)
     forest = sort_edges((np.asarray(kept_i, dtype=np.int64),
                          np.asarray(kept_j, dtype=np.int64),
                          np.asarray(kept_d, dtype=np.float64)))
     return clusters_from_forest(forest, n)
+
+
+# last mesh-lp run's shape facts, for communication accounting
+DIST_LP_LAST: dict = {}
+
+
+def dist_lp_comm_stats(n_pad: int, n_dev: int, bits: int, rounds: int
+                       ) -> dict:
+    """Per-device ICI communication volume of the mesh labelprop engine.
+
+    Analytic, not sampled: the compiled programs are static, so the
+    collective payloads are exactly the buffers in the code —
+    build ring (build_ring_masks_fn): ``n_steps`` hops each ppermuting
+    vxp (shard x bits/8 u8) + vcoll/vsizes/vis_ids (shard i32);
+    each Boruvka round (dist_lp_round_fn): pmin over col_p (n_pad i32)
+    + psum of one i32, costed at the ring-allreduce volume
+    2(n_dev-1)/n_dev x payload per device.  This is the quantity a
+    real-pod projection divides by ICI bandwidth (wall clock on the
+    core-shared virtual mesh cannot evidence it)."""
+    shard = n_pad // max(n_dev, 1)
+    n_steps = _n_ring_steps(n_dev)
+    # a 1-device "ring" self-permutes in HBM: nothing crosses ICI
+    hop = (shard * (bits // 8) + 3 * shard * 4) if n_dev > 1 else 0
+    ar = 2.0 * (n_dev - 1) / max(n_dev, 1)
+    per_round = int(ar * (n_pad * 4 + 4))
+    return {
+        "ici_bytes_per_hop": hop,
+        "build_hops": n_steps,
+        "build_ici_bytes_per_device": n_steps * hop,
+        "allreduce_bytes_per_round_per_device": per_round,
+        "rounds": rounds,
+        "total_ici_bytes_per_device": n_steps * hop + rounds * per_round,
+    }
+
+
+def ring_comm_stats(n_pad: int, n_dev: int, row_bytes: int,
+                    extra_i32_vectors: int = 3) -> dict:
+    """Per-device ICI volume of the ppermute ring engines
+    (build_ring_bitmap_fn / build_ring_edges_fn / build_ring_fn): each of
+    the n_steps hops moves the visiting shard's payload
+    (shard x row_bytes) plus ``extra_i32_vectors`` shard-length i32
+    vectors (sizes/ids/collision counts)."""
+    shard = n_pad // max(n_dev, 1)
+    n_steps = _n_ring_steps(n_dev)
+    hop = (shard * row_bytes + extra_i32_vectors * shard * 4) \
+        if n_dev > 1 else 0
+    return {
+        "ici_bytes_per_hop": hop,
+        "hops": n_steps,
+        "total_ici_bytes_per_device": n_steps * hop,
+    }

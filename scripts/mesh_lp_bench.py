@@ -70,6 +70,10 @@ def main() -> int:
         n_pad = -(-args.n // (nd * 128)) * nd * 128
         shard = n_pad // nd
         n_steps = nd // 2 + 1
+        from rabbittclust_tpu.parallel.dist_engine import (
+            DIST_LP_LAST, dist_lp_comm_stats, ring_comm_stats)
+        comm = dist_lp_comm_stats(n_pad, nd, args.bits,
+                                  DIST_LP_LAST.get("rounds", 0))
         rows.append({
             "devices": nd,
             "t_warm_s": round(t_warm, 2),
@@ -79,6 +83,8 @@ def main() -> int:
             "per_device_mask_bytes": n_steps * shard * (shard // 8),
             "pulled_bytes": bm.PULL_STATS["bytes"],
             "pulls": bm.PULL_STATS["pulls"],
+            "comm": comm,
+            "ring_engine_comm": ring_comm_stats(n_pad, nd, args.bits // 8),
         })
         print(f"-----{nd} devices: warm {t_warm:.2f} s, "
               f"{len(clusters)} clusters", file=sys.stderr, flush=True)
