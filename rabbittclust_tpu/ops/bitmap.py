@@ -114,13 +114,18 @@ def pack_bitmaps_packed_staged(hashes: List[np.ndarray], bits: int = 8192,
 
     n = len(hashes)
     n_pad = max(((n + pad_n_to - 1) // pad_n_to) * pad_n_to, pad_n_to)
+    chunk = int(os.environ.get("RTC_PACK_CHUNK", chunk))
+    if chunk <= 0:  # single-put mode: pack everything, push once
+        chunk = n_pad
     parts = []
     colls = []
     done = 0
+    t_nat = t_put = 0.0
     while done < n_pad:
         end = min(done + chunk, n_pad)
         rows = end - done
         sub = hashes[done:min(end, n)]
+        t0 = time.perf_counter()
         if sub:
             xp_c, coll_c = pack_bitmaps_packed(sub, bits=bits, pad_n_to=1)
             if xp_c.shape[0] < rows:  # tail padding rows
@@ -131,11 +136,25 @@ def pack_bitmaps_packed_staged(hashes: List[np.ndarray], bits: int = 8192,
         else:
             xp_c = np.zeros((rows, bits // 8), dtype=np.uint8)
             coll_c = np.zeros(rows, dtype=np.int32)
+        t1 = time.perf_counter()
         parts.append(jax.device_put(xp_c))  # async; overlaps next pack
+        t_put += time.perf_counter() - t1
+        t_nat += t1 - t0
         colls.append(coll_c[:rows])
         done = end
+    t1 = time.perf_counter()
     xd = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    PACK_STATS.update(native_s=round(t_nat, 2),
+                      put_dispatch_s=round(t_put, 2),
+                      concat_dispatch_s=round(time.perf_counter() - t1, 2),
+                      chunks=len(parts), chunk_rows=chunk)
     return xd, np.concatenate(colls)
+
+
+# sub-phase decomposition of the last pack_bitmaps_packed_staged call
+# (native pack vs device_put dispatch vs device concat dispatch; the
+# async transfer itself lands in whichever op blocks on it next)
+PACK_STATS: dict = {}
 
 
 def _unpack_bits_device(xp, dtype=None):

@@ -147,6 +147,44 @@ def _jitted_round():
                    donate_argnums=(0,))
 
 
+def _round_fn_compact(packs, labels, clr_t, clr_r, clr_b, clr_sub, r0s,
+                      c0s, valid, r_lo, rb, span, cap):
+    """_round_fn with a compacted pull: instead of the full
+    [cross, row_p(n_pad), col_p(n_pad)] (8.4 MB at N=1M, every round),
+    return [cross, ncol, row_p[r_lo:r_lo+span], col_idx(cap),
+    col_val(cap)].  The row slice loses nothing (only the panel's
+    resident rows can propose); the col compaction is a HINT channel —
+    when more than ``cap`` columns propose, the overflow is simply
+    deferred (the masks are resident, so undelivered proposals re-surface
+    next round) — exactness is untouched because proposals only ever
+    FEED the host verify gate, and termination is driven by ``cross``
+    plus the guaranteed row proposals."""
+    import jax
+    import jax.numpy as jnp
+
+    packs, fused = _round_fn(packs, labels, clr_t, clr_r, clr_b, clr_sub,
+                             r0s, c0s, valid, rb)
+    n_pad = labels.shape[0]
+    cross = fused[:1]
+    row_p = fused[1:1 + n_pad]
+    col_p = fused[1 + n_pad:]
+    row_span = jax.lax.dynamic_slice(row_p, (r_lo,), (span,))
+    mask = col_p < SENT
+    ncol = jnp.sum(mask, dtype=jnp.int32)
+    idx = jnp.nonzero(mask, size=cap, fill_value=0)[0].astype(jnp.int32)
+    val = col_p[idx]
+    out = jnp.concatenate([cross, ncol[None], row_span, idx, val])
+    return packs, out
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_round_compact():
+    import jax
+    return jax.jit(_round_fn_compact,
+                   static_argnames=("rb", "span", "cap"),
+                   donate_argnums=(0,))
+
+
 def _clear_quantum(count: int) -> int:
     """Ladder for the clear-list length (few distinct compiled shapes)."""
     k = 1024
@@ -228,23 +266,51 @@ def threshold_clusters_device_lp(
         roots[n:] = n + np.arange(n_pad - n, dtype=np.int32)
         return roots
 
+    # Compact-pull geometry (multi-panel only; a single panel keeps the
+    # original full-pull program and its compiled shape).  ONE (span, cap)
+    # pair serves every panel — span covers the widest panel's row blocks
+    # — so exactly two round programs compile regardless of panel count
+    # (the tunnel's 4-9 min remote compiles make per-panel shapes poison).
+    multi = len(panels) > 1
+    span = cap = 0
+    panel_geo = []
+    for panel in panels:
+        lo = min(r0 for r0, _ in panel)
+        hi = max(r0 for r0, _ in panel) + rb
+        panel_geo.append((lo, hi))
+    if multi:
+        span = min(n_pad, max(hi - lo for lo, hi in panel_geo))
+        cap = min(n_pad, int(os.environ.get("RTC_LP_COL_CAP", "65536")))
+        round_compact = _jitted_round_compact()
+    prefetch = os.environ.get("RTC_LP_PREFETCH", "1") != "0" and multi
+
+    def _panel_arrays(panel):
+        r0s = np.zeros(t_cap, dtype=np.int32)
+        c0s = np.zeros(t_cap, dtype=np.int32)
+        valid = np.zeros(t_cap, dtype=np.int32)
+        for t, (r0, c0) in enumerate(panel):
+            r0s[t], c0s[t], valid[t] = r0, c0, 1
+        return jnp.asarray(r0s), jnp.asarray(c0s), jnp.asarray(valid)
+
     from ..utils.profiling import maybe_trace
     with maybe_trace("labelprop_cluster"):
+        next_packs = None
         for p_idx, panel in enumerate(panels):
             LP_STATS["panels"] += 1
             t_off = p_idx * t_cap  # global index of the panel's first tile
-            r0s = np.zeros(t_cap, dtype=np.int32)
-            c0s = np.zeros(t_cap, dtype=np.int32)
-            valid = np.zeros(t_cap, dtype=np.int32)
-            for t, (r0, c0) in enumerate(panel):
-                r0s[t], c0s[t], valid[t] = r0, c0, 1
-            r0s_d, c0s_d, val_d = jnp.asarray(r0s), jnp.asarray(c0s), \
-                jnp.asarray(valid)
+            r0s_d, c0s_d, val_d = _panel_arrays(panel)
             # build: one async dispatch, masks stay resident — counts are
-            # NOT pulled; its device time lands in the first round's pull
-            _counts_dev, packs = build_prog(
-                xd, cd, sd, r0s_d, c0s_d, val_d, *scalars,
-                is_containment, rb)
+            # NOT pulled; its device time lands in the first round's pull.
+            # With prefetch on, panel p+1's build was already dispatched
+            # during panel p's rounds (fills the device's idle window
+            # while the host verifies).
+            if next_packs is not None:
+                packs = next_packs
+                next_packs = None
+            else:
+                _counts_dev, packs = build_prog(
+                    xd, cd, sd, r0s_d, c0s_d, val_d, *scalars,
+                    is_containment, rb)
             if csr is None:
                 # CSR flattening overlaps the first panel's device filter
                 # sweep (its wall time mostly hides behind pull_s)
@@ -255,16 +321,36 @@ def threshold_clusters_device_lp(
                    np.zeros(1024, dtype=np.int32),
                    np.zeros(1024, dtype=np.int32),
                    np.zeros(1024, dtype=np.uint8))
+            r_lo = min(panel_geo[p_idx][0], n_pad - span) if multi else 0
             rounds = 0
             converged = False
             while rounds < max_rounds:
                 rounds += 1
                 LP_STATS["rounds"] += 1
-                packs, fused_dev = round_prog(
-                    packs, jnp.asarray(labels_arr()),
-                    jnp.asarray(clr[0]), jnp.asarray(clr[1]),
-                    jnp.asarray(clr[2]), jnp.asarray(clr[3]),
-                    r0s_d, c0s_d, val_d, rb)
+                # panel 0 round 1: full pull (columns are panel-internal
+                # and dense); everything else: compacted pull — row slice
+                # is lossless, col compaction defers overflow harmlessly
+                use_compact = multi and not (p_idx == 0 and rounds == 1)
+                if use_compact:
+                    packs, fused_dev = round_compact(
+                        packs, jnp.asarray(labels_arr()),
+                        jnp.asarray(clr[0]), jnp.asarray(clr[1]),
+                        jnp.asarray(clr[2]), jnp.asarray(clr[3]),
+                        r0s_d, c0s_d, val_d, jnp.int32(r_lo),
+                        rb=rb, span=span, cap=cap)
+                else:
+                    packs, fused_dev = round_prog(
+                        packs, jnp.asarray(labels_arr()),
+                        jnp.asarray(clr[0]), jnp.asarray(clr[1]),
+                        jnp.asarray(clr[2]), jnp.asarray(clr[3]),
+                        r0s_d, c0s_d, val_d, rb)
+                if prefetch and rounds == 1 and p_idx + 1 < len(panels):
+                    # dispatch the NEXT panel's filter sweep now: it
+                    # queues behind this panel's remaining rounds and
+                    # runs in the device's host-verify idle windows
+                    nxt = _panel_arrays(panels[p_idx + 1])
+                    _nc, next_packs = build_prog(
+                        xd, cd, sd, *nxt, *scalars, is_containment, rb)
                 t0 = time.perf_counter()
                 fused = np.asarray(fused_dev)
                 dt = time.perf_counter() - t0
@@ -277,9 +363,19 @@ def threshold_clusters_device_lp(
                     break
                 t0 = time.perf_counter()
                 from .cluster_fast import gated_verify_merge
-                row_p = fused[1:1 + n_pad]
-                col_p = fused[1 + n_pad:]
                 g = np.arange(n_pad, dtype=np.int64)
+                if use_compact:
+                    ncol = int(fused[1])
+                    row_p = np.full(n_pad, SENT, dtype=np.int32)
+                    row_p[r_lo:r_lo + span] = fused[2:2 + span]
+                    col_p = np.full(n_pad, SENT, dtype=np.int32)
+                    k = min(ncol, cap)
+                    ci_idx = fused[2 + span:2 + span + k]
+                    col_p[ci_idx] = fused[2 + span + cap:
+                                          2 + span + cap + k]
+                else:
+                    row_p = fused[1:1 + n_pad]
+                    col_p = fused[1 + n_pad:]
                 rp = row_p < SENT
                 cp = col_p < SENT
                 # rows first: row proposals star-collapse most components,

@@ -96,8 +96,12 @@ def main() -> int:
         "clusters": len(clusters),
         "device_phases": {k: (round(v, 2) if isinstance(v, float) else v)
                           for k, v in LP_STATS.items()},
+        "pack_stats": dict(bm.PACK_STATS),
         "device_pulled_bytes": bm.PULL_STATS["bytes"],
         "device_pulls": bm.PULL_STATS["pulls"],
+        "bytes_per_round": (round(bm.PULL_STATS["bytes"] /
+                                  max(LP_STATS["rounds"], 1))
+                            if LP_STATS["rounds"] else None),
         "t_native_greedy_s": (round(t_greedy, 1)
                               if t_greedy is not None else None),
         "t_native_mst_extrapolated_s": (round(t_mst_extrap)

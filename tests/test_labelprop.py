@@ -152,3 +152,27 @@ def test_encode_clear_roundtrip():
     assert sub[:4].tolist() == [1 << (65 % 64 % 8), 1 << 0, 1 << 0, 1 << 3]
     # padding entries are no-ops
     assert sub[4:].max() == 0
+
+
+def test_lp_compact_pull_col_overflow_is_exact(monkeypatch):
+    """Round-5 compact pull: with RTC_LP_COL_CAP tiny, col proposals
+    overflow every round and get deferred to later rounds — the partition
+    must still be exact (proposals are hints; the verify gate + resident
+    masks carry correctness)."""
+    monkeypatch.setenv("RTC_LP_COL_CAP", "4")
+    hashes = make_sketches(n=300, n_clusters=9, seed=13)
+    got = threshold_clusters_device_lp(hashes, 0.05, 21, bits=2048,
+                                       row_block=64, panel_tiles=2)
+    assert canon(got) == canon(host_partition(hashes, 0.05, 21))
+
+
+def test_lp_compact_pull_no_prefetch_matches(monkeypatch):
+    """RTC_LP_PREFETCH=0 (no build(p+1) overlap) must give the identical
+    partition as the prefetching default."""
+    hashes = make_sketches(n=300, n_clusters=9, seed=13)
+    a = threshold_clusters_device_lp(hashes, 0.05, 21, bits=2048,
+                                     row_block=64, panel_tiles=4)
+    monkeypatch.setenv("RTC_LP_PREFETCH", "0")
+    b = threshold_clusters_device_lp(hashes, 0.05, 21, bits=2048,
+                                     row_block=64, panel_tiles=4)
+    assert canon(a) == canon(b) == canon(host_partition(hashes, 0.05, 21))
