@@ -135,12 +135,17 @@ def clust_mst_multihost(input_file: str, output_file: str,
                                  input_file, threads, min_len,
                                  is_containment, kmer_size or 19, threshold,
                                  drlevel)
+    import time as _time
+    t0 = _time.perf_counter()
     ss, p = ingest_sharded_kssd(input_file, sketch_by_file, num_processes,
                                 process_id, min_len, tuned.kmer_size,
                                 drlevel, threads)
+    log(f"-----process {process_id}: ingest+sketch+allgather "
+        f"{_time.perf_counter() - t0:.2f} s")
     n_total = len(ss)
     log(f"-----the size of sketches (genomes) is: {n_total}")
     lo, hi = mh.shard_bounds(n_total, num_processes, process_id)
+    t0 = _time.perf_counter()
     if module == "greedy":
         clusters, order = mh.multihost_greedy(
             ss.hashes[lo:hi], n_total, threshold, p.kmer_size,
@@ -168,6 +173,8 @@ def clust_mst_multihost(input_file: str, output_file: str,
         forest = cut_forest(res.mst, threshold)
         clusters = clusters_from_forest(forest, n_total)
         header_threshold = threshold
+    log(f"-----process {process_id}: distributed {module} cluster phase "
+        f"{_time.perf_counter() - t0:.2f} s")
     import jax
     if jax.process_index() == 0:
         if module == "dbscan":
