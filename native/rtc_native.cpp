@@ -993,8 +993,11 @@ void rtc_pack_bitmaps_u32(const uint32_t* flat, const int64_t* offs,
       row[b >> 3] |= (uint8_t)(1u << (b & 7));
     }
     int pc = 0;
-    for (int64_t k = 0; k < row_bytes; ++k)
-      pc += __builtin_popcount(row[k]);
+    for (int64_t k = 0; k < row_bytes; k += 8) {  // bits/8 is 8-aligned
+      uint64_t v;
+      memcpy(&v, row + k, 8);
+      pc += __builtin_popcountll(v);
+    }
     coll[g] = (int32_t)(offs[g + 1] - offs[g]) - pc;
   }
 }
@@ -1013,8 +1016,11 @@ void rtc_pack_bitmaps_u64(const uint64_t* flat, const int64_t* offs,
       row[b >> 3] |= (uint8_t)(1u << (b & 7));
     }
     int pc = 0;
-    for (int64_t k = 0; k < row_bytes; ++k)
-      pc += __builtin_popcount(row[k]);
+    for (int64_t k = 0; k < row_bytes; k += 8) {  // bits/8 is 8-aligned
+      uint64_t v;
+      memcpy(&v, row + k, 8);
+      pc += __builtin_popcountll(v);
+    }
     coll[g] = (int32_t)(offs[g + 1] - offs[g]) - pc;
   }
 }
