@@ -35,10 +35,19 @@ merges, so a pair that was same-label when its panel retired can never
 become cross-label again.  For N <= ~panel capacity this degenerates to
 the original single-panel all-resident engine.
 
-Pulled bytes per round: 4*(1 + 2*n_pad) — O(N), never O(N^2).  Rounds are
-few: round 1 star-collapses most clusters (every member proposes the
-cluster's minimum-index member), later rounds only touch unresolved rows
-and inter-cluster false positives of the bitmap bound.
+Pulled bytes per round: single-panel runs pull the full fused
+[cross, row_p, col_p] = 4*(1 + 2*n_pad); multi-panel runs pull the
+COMPACTED [cross, ncol, row_p[panel row span], col idx/val (<= cap)]
+(~1.8 MB at N=1M vs 8.4 MB full — 59 MB total across 33 rounds, was
+277 MB).  The row slice is lossless (only panel-resident rows propose);
+col overflow past RTC_LP_COL_CAP is deferred to later rounds (masks are
+resident, proposals only feed the verify gate — see
+_round_fn_compact).  Rounds are few: round 1 star-collapses most
+clusters (every member proposes the cluster's minimum-index member),
+later rounds only touch unresolved rows and inter-cluster false
+positives of the bitmap bound.  Panel p+1's filter build is dispatched
+during panel p's rounds (RTC_LP_PREFETCH=0 disables) so it runs in the
+device's host-verify idle windows.
 
 Exactness: identical argument as ops/cluster_fast.py — the bitmap bound has
 no false negatives, so the true-edge graph is a subgraph of the candidate
