@@ -38,6 +38,18 @@ def build_similarity_graph(hashes: List[np.ndarray], threshold: float,
     n = len(hashes)
     sizes = np.array([len(h) for h in hashes], dtype=np.int64)
     ii_parts, jj_parts, ww_parts = [], [], []
+    if use_device and os.environ.get("RTC_LEIDEN_DEVICE", "") != "force":
+        # measured A/B on the tunnel-attached dev chip
+        # (LEIDEN_AB_r05.json / scripts/leiden_graph_ab.py): at 100k the
+        # device graph build runs 0.31x the native host engine — the
+        # N^2/8 mask pull dominates on this link, exactly like the dense
+        # greedy case.  Route to native (byte-identical graph) with a
+        # note; RTC_LEIDEN_DEVICE=force keeps the device path (the right
+        # default on local-PCIe hardware).
+        print("-----leiden graph: routing --device to the native host "
+              "engine (measured 0.31x on this link, LEIDEN_AB_r05; "
+              "RTC_LEIDEN_DEVICE=force overrides)", file=sys.stderr)
+        use_device = False
     if use_device:
         from ..ops.bitmap import candidate_pairs_threshold
         pairs_iter = [candidate_pairs_threshold(hashes, threshold, kmer_size)]

@@ -67,6 +67,7 @@ def main() -> int:
         print(f"-----host native graph: {t_host:.1f} s, {len(gh[0])} edges",
               file=sys.stderr, flush=True)
 
+    os.environ["RTC_LEIDEN_DEVICE"] = "force"  # bypass the measured router
     t0 = time.perf_counter()
     gd = build_similarity_graph(hashes, args.threshold, args.kmer_size,
                                 use_device=True)
