@@ -31,6 +31,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
+import rabbittclust_tpu  # noqa: F401,E402 — mallopt heap reuse
+# must be active BEFORE the multi-GB corpus generation allocations
+
 from bench import _load_baseline_cache, make_sketches, partition_digest
 
 
