@@ -194,6 +194,54 @@ def _jitted_round_compact():
                    donate_argnums=(0,))
 
 
+def _split_host_input(hin, clr_cap, extra):
+    """hin = [labels(n_pad), clr_t, clr_r, clr_b, clr_sub (clr_cap each),
+    extra scalars] int32 — ONE host->device transfer per round instead of
+    five-plus (each separate push pays this link's fixed per-transfer
+    overhead; at N=1M that is 4 x 33 saved round trips)."""
+    import jax.numpy as jnp
+
+    n_pad = hin.shape[0] - 4 * clr_cap - extra
+    labels = hin[:n_pad]
+    o = n_pad
+    clr_t = hin[o:o + clr_cap]
+    clr_r = hin[o + clr_cap:o + 2 * clr_cap]
+    clr_b = hin[o + 2 * clr_cap:o + 3 * clr_cap]
+    clr_sub = hin[o + 3 * clr_cap:o + 4 * clr_cap].astype(jnp.uint8)
+    return labels, clr_t, clr_r, clr_b, clr_sub
+
+
+def _round_fn_hin(packs, hin, r0s, c0s, valid, rb, clr_cap):
+    labels, clr_t, clr_r, clr_b, clr_sub = _split_host_input(hin, clr_cap,
+                                                             0)
+    return _round_fn(packs, labels, clr_t, clr_r, clr_b, clr_sub, r0s,
+                     c0s, valid, rb)
+
+
+def _round_fn_compact_hin(packs, hin, r0s, c0s, valid, rb, span, cap,
+                          clr_cap):
+    labels, clr_t, clr_r, clr_b, clr_sub = _split_host_input(hin, clr_cap,
+                                                             1)
+    r_lo = hin[-1]
+    return _round_fn_compact(packs, labels, clr_t, clr_r, clr_b, clr_sub,
+                             r0s, c0s, valid, r_lo, rb, span, cap)
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_round_hin():
+    import jax
+    return jax.jit(_round_fn_hin, static_argnames=("rb", "clr_cap"),
+                   donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_round_compact_hin():
+    import jax
+    return jax.jit(_round_fn_compact_hin,
+                   static_argnames=("rb", "span", "cap", "clr_cap"),
+                   donate_argnums=(0,))
+
+
 def _clear_quantum(count: int) -> int:
     """Ladder for the clear-list length (few distinct compiled shapes)."""
     k = 1024
@@ -265,7 +313,6 @@ def threshold_clusters_device_lp(
     kept_i: List[int] = []
     kept_j: List[int] = []
     kept_d: List[float] = []
-    round_prog = _jitted_round()
     build_prog = bm._jitted_batched_mask()
 
     def labels_arr():
@@ -290,7 +337,7 @@ def threshold_clusters_device_lp(
     if multi:
         span = min(n_pad, max(hi - lo for lo, hi in panel_geo))
         cap = min(n_pad, int(os.environ.get("RTC_LP_COL_CAP", "65536")))
-        round_compact = _jitted_round_compact()
+        round_compact_hin = _jitted_round_compact_hin()
     prefetch = os.environ.get("RTC_LP_PREFETCH", "1") != "0" and multi
 
     def _panel_arrays(panel):
@@ -300,6 +347,14 @@ def threshold_clusters_device_lp(
         for t, (r0, c0) in enumerate(panel):
             r0s[t], c0s[t], valid[t] = r0, c0, 1
         return jnp.asarray(r0s), jnp.asarray(c0s), jnp.asarray(valid)
+
+    round_hin = _jitted_round_hin()
+
+    def _mk_hin(labels, clr, r_lo=None):
+        parts = [labels, clr[0], clr[1], clr[2], clr[3].astype(np.int32)]
+        if r_lo is not None:
+            parts.append(np.array([r_lo], dtype=np.int32))
+        return np.concatenate(parts)
 
     from ..utils.profiling import maybe_trace
     with maybe_trace("labelprop_cluster"):
@@ -340,19 +395,17 @@ def threshold_clusters_device_lp(
                 # and dense); everything else: compacted pull — row slice
                 # is lossless, col compaction defers overflow harmlessly
                 use_compact = multi and not (p_idx == 0 and rounds == 1)
+                clr_cap = len(clr[0])
                 if use_compact:
-                    packs, fused_dev = round_compact(
-                        packs, jnp.asarray(labels_arr()),
-                        jnp.asarray(clr[0]), jnp.asarray(clr[1]),
-                        jnp.asarray(clr[2]), jnp.asarray(clr[3]),
-                        r0s_d, c0s_d, val_d, jnp.int32(r_lo),
-                        rb=rb, span=span, cap=cap)
+                    packs, fused_dev = round_compact_hin(
+                        packs, jnp.asarray(_mk_hin(labels_arr(), clr,
+                                                   r_lo)),
+                        r0s_d, c0s_d, val_d, rb=rb, span=span, cap=cap,
+                        clr_cap=clr_cap)
                 else:
-                    packs, fused_dev = round_prog(
-                        packs, jnp.asarray(labels_arr()),
-                        jnp.asarray(clr[0]), jnp.asarray(clr[1]),
-                        jnp.asarray(clr[2]), jnp.asarray(clr[3]),
-                        r0s_d, c0s_d, val_d, rb)
+                    packs, fused_dev = round_hin(
+                        packs, jnp.asarray(_mk_hin(labels_arr(), clr)),
+                        r0s_d, c0s_d, val_d, rb=rb, clr_cap=clr_cap)
                 if prefetch and rounds == 1 and p_idx + 1 < len(panels):
                     # dispatch the NEXT panel's filter sweep now: it
                     # queues behind this panel's remaining rounds and
