@@ -668,13 +668,15 @@ def build_ring_masks_fn(jmin_num: float, jmin_den: float, c_min: float,
     return fn
 
 
-def dist_lp_round_fn(masks, labels, clr_t, clr_r, clr_b, clr_sub):
+def dist_lp_round_fn(masks, labels, clr):
     """shard_map-able Boruvka round over the resident mask slabs.
 
     masks: per-device (n_steps, shard, shard//8), donated; labels: global
-    (n_pad,) replicated; clr_*: per-device clear lists (step, local row,
-    byte, bit value).  Returns (new_masks, row_p sharded (n_pad,),
-    fused replicated [cross, col_p (n_pad,)])."""
+    (n_pad,) replicated; clr: per-device FUSED clear list
+    [step(C), local row(C), byte(C), bit value(C)] int32 — one
+    host->device push instead of four (each separate push pays the
+    link's fixed per-transfer overhead).  Returns (new_masks, row_p
+    sharded (n_pad,), fused replicated [cross, col_p (n_pad,)])."""
     import jax
     import jax.numpy as jnp
     from ..ops.labelprop import SENT
@@ -683,6 +685,11 @@ def dist_lp_round_fn(masks, labels, clr_t, clr_r, clr_b, clr_sub):
     d = jax.lax.axis_index("data")
     n_steps, shard, _ = masks.shape
     n_pad = labels.shape[0]
+    cap = clr.shape[0] // 4
+    clr_t = clr[:cap]
+    clr_r = clr[cap:2 * cap]
+    clr_b = clr[2 * cap:3 * cap]
+    clr_sub = clr[3 * cap:].astype(jnp.uint8)
     masks = masks.at[clr_t, clr_r, clr_b].add(-clr_sub)
     shifts = jnp.arange(8, dtype=jnp.uint8)
     iota = jax.lax.iota(jnp.int32, shard)
@@ -766,8 +773,7 @@ def _jitted_dist_lp(mesh, jmin_num: float, jmin_den: float,
         check_vma=False))
     rnd = jax.jit(jax.shard_map(
         dist_lp_round_fn, mesh=mesh,
-        in_specs=(P("data"), P(), P("data"), P("data"), P("data"),
-                  P("data")),
+        in_specs=(P("data"), P(), P("data")),
         out_specs=(P("data"), P("data"), P()), check_vma=False),
         donate_argnums=(0,))
     return build, rnd
@@ -834,17 +840,13 @@ def distributed_threshold_clusters_lp(hashes, threshold: float,
         return roots
 
     cap = _clear_quantum(0)
-    clr = (np.zeros(n_dev * cap, dtype=np.int32),
-           np.zeros(n_dev * cap, dtype=np.int32),
-           np.zeros(n_dev * cap, dtype=np.int32),
-           np.zeros(n_dev * cap, dtype=np.uint8))
+    clr = np.zeros(n_dev * 4 * cap, dtype=np.int32)
     rounds = 0
     g = np.arange(n_pad, dtype=np.int64)
     while rounds < max_rounds:
         rounds += 1
         masks, row_p_dev, fused_dev = rnd(
-            masks, jnp.asarray(labels_arr()), jnp.asarray(clr[0]),
-            jnp.asarray(clr[1]), jnp.asarray(clr[2]), jnp.asarray(clr[3]))
+            masks, jnp.asarray(labels_arr()), jnp.asarray(clr))
         row_p = np.asarray(row_p_dev)
         fused = np.asarray(fused_dev)
         bm._account_pull(row_p.nbytes + fused.nbytes)
@@ -874,8 +876,14 @@ def distributed_threshold_clusters_lp(hashes, threshold: float,
         if len(fi):
             _, sel = np.unique(fi * n_pad + fj, return_index=True)
             fi, fj = fi[sel], fj[sel]
-        ct, cr, cb, cs, _cap = _dist_lp_clear(fi, fj, shard, n_dev, n_steps)
-        clr = (ct, cr, cb, cs)
+        ct, cr, cb, cs, cap2 = _dist_lp_clear(fi, fj, shard, n_dev,
+                                              n_steps)
+        # fused device-major layout: per device [t, r, b, sub] (C each)
+        clr = np.concatenate(
+            [ct.reshape(n_dev, cap2), cr.reshape(n_dev, cap2),
+             cb.reshape(n_dev, cap2),
+             cs.reshape(n_dev, cap2).astype(np.int32)],
+            axis=1).reshape(-1)
     else:
         # pathological-input fallback (single-chip _lp_fallback twin):
         # pull the remaining slabs once and finish with the gated host
