@@ -176,3 +176,26 @@ def test_lp_compact_pull_no_prefetch_matches(monkeypatch):
     b = threshold_clusters_device_lp(hashes, 0.05, 21, bits=2048,
                                      row_block=64, panel_tiles=4)
     assert canon(a) == canon(b) == canon(host_partition(hashes, 0.05, 21))
+
+
+def test_lp_randomized_config_sweep(monkeypatch):
+    """Randomized property check over the round-5 compact/fused round
+    paths: random (n, clusters, sketch size, bits, panel count, col cap,
+    prefetch) configurations must all reproduce the host partition —
+    covers panel-boundary x overflow x prefetch interactions no single
+    fixture hits."""
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        n = int(rng.integers(150, 450))
+        nc = int(rng.integers(3, 20))
+        s = int(rng.choice([40, 60, 120]))
+        bits = int(rng.choice([128, 512, 2048]))
+        pt = int(rng.choice([1, 2, 3, 5]))
+        monkeypatch.setenv("RTC_LP_COL_CAP",
+                           str(int(rng.choice([4, 64, 100000]))))
+        monkeypatch.setenv("RTC_LP_PREFETCH", str(int(rng.integers(0, 2))))
+        hashes = make_sketches(n=n, s=s, n_clusters=nc, seed=trial + 100)
+        got = threshold_clusters_device_lp(hashes, 0.05, 21, bits=bits,
+                                           row_block=64, panel_tiles=pt)
+        assert canon(got) == canon(host_partition(hashes, 0.05, 21)), \
+            f"trial={trial} n={n} nc={nc} s={s} bits={bits} pt={pt}"
