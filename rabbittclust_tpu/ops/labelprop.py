@@ -149,13 +149,6 @@ def _round_fn(packs, labels, clr_t, clr_r, clr_b, clr_sub, r0s, c0s, valid,
     return packs, fused
 
 
-@functools.lru_cache(maxsize=1)
-def _jitted_round():
-    import jax
-    return jax.jit(_round_fn, static_argnames=("rb",),
-                   donate_argnums=(0,))
-
-
 def _round_fn_compact(packs, labels, clr_t, clr_r, clr_b, clr_sub, r0s,
                       c0s, valid, r_lo, rb, span, cap):
     """_round_fn with a compacted pull: instead of the full
@@ -184,14 +177,6 @@ def _round_fn_compact(packs, labels, clr_t, clr_r, clr_b, clr_sub, r0s,
     val = col_p[idx]
     out = jnp.concatenate([cross, ncol[None], row_span, idx, val])
     return packs, out
-
-
-@functools.lru_cache(maxsize=1)
-def _jitted_round_compact():
-    import jax
-    return jax.jit(_round_fn_compact,
-                   static_argnames=("rb", "span", "cap"),
-                   donate_argnums=(0,))
 
 
 def _split_host_input(hin, clr_cap, extra):
