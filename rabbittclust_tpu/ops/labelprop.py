@@ -227,6 +227,41 @@ def _jitted_round_compact_hin():
                    donate_argnums=(0,))
 
 
+def _round_fn_compact_delta(packs, labels_dev, hin, r0s, c0s, valid, rb,
+                            span, cap, clr_cap, dcap):
+    """Compact round with DEVICE-RESIDENT labels (opt-in,
+    RTC_LP_LABEL_DELTA=1): instead of pushing the full (n_pad,) label
+    array every round (4 MB x 33 rounds at N=1M), the host pushes only
+    the entries that changed since the last round —
+    hin = [delta idx (dcap), delta val (dcap), clear lists, r_lo] — and
+    the device scatters them into its resident copy.  Pad entries repeat
+    (idx 0, current labels[0]): idempotent.  When more than ``dcap``
+    labels changed the caller re-pushes the full array instead (one
+    fixed dcap = one compiled shape)."""
+    import jax.numpy as jnp
+
+    labels = labels_dev.at[hin[:dcap]].set(hin[dcap:2 * dcap])
+    rest = hin[2 * dcap:]
+    clr_t = rest[:clr_cap]
+    clr_r = rest[clr_cap:2 * clr_cap]
+    clr_b = rest[2 * clr_cap:3 * clr_cap]
+    clr_sub = rest[3 * clr_cap:4 * clr_cap].astype(jnp.uint8)
+    r_lo = rest[-1]
+    packs, fused = _round_fn_compact(packs, labels, clr_t, clr_r, clr_b,
+                                     clr_sub, r0s, c0s, valid, r_lo, rb,
+                                     span, cap)
+    return packs, labels, fused
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_round_compact_delta():
+    import jax
+    return jax.jit(_round_fn_compact_delta,
+                   static_argnames=("rb", "span", "cap", "clr_cap",
+                                    "dcap"),
+                   donate_argnums=(0, 1))
+
+
 def _clear_quantum(count: int) -> int:
     """Ladder for the clear-list length (few distinct compiled shapes)."""
     k = 1024
@@ -323,6 +358,12 @@ def threshold_clusters_device_lp(
         span = min(n_pad, max(hi - lo for lo, hi in panel_geo))
         cap = min(n_pad, int(os.environ.get("RTC_LP_COL_CAP", "65536")))
         round_compact_hin = _jitted_round_compact_hin()
+    use_delta = multi and os.environ.get("RTC_LP_LABEL_DELTA", "0") == "1"
+    if use_delta:
+        round_compact_delta = _jitted_round_compact_delta()
+        dcap = min(n_pad, 65536)
+    labels_dev = None
+    prev_labels = None
     prefetch = os.environ.get("RTC_LP_PREFETCH", "1") != "0" and multi
 
     def _panel_arrays(panel):
@@ -381,7 +422,29 @@ def threshold_clusters_device_lp(
                 # is lossless, col compaction defers overflow harmlessly
                 use_compact = multi and not (p_idx == 0 and rounds == 1)
                 clr_cap = len(clr[0])
-                if use_compact:
+                if use_compact and use_delta:
+                    cur = labels_arr()
+                    if labels_dev is None or int(
+                            np.count_nonzero(cur != prev_labels)) > dcap:
+                        labels_dev = jnp.asarray(cur)  # full (re)push
+                        dd = np.empty(0, dtype=np.int32)
+                    else:
+                        dd = np.flatnonzero(
+                            cur != prev_labels).astype(np.int32)
+                    didx = np.zeros(dcap, dtype=np.int32)
+                    dval = np.full(dcap, cur[0], dtype=np.int32)
+                    didx[:len(dd)] = dd
+                    dval[:len(dd)] = cur[dd]
+                    prev_labels = cur
+                    hin = np.concatenate(
+                        [didx, dval, clr[0], clr[1], clr[2],
+                         clr[3].astype(np.int32),
+                         np.array([r_lo], dtype=np.int32)])
+                    packs, labels_dev, fused_dev = round_compact_delta(
+                        packs, labels_dev, jnp.asarray(hin), r0s_d,
+                        c0s_d, val_d, rb=rb, span=span, cap=cap,
+                        clr_cap=clr_cap, dcap=dcap)
+                elif use_compact:
                     packs, fused_dev = round_compact_hin(
                         packs, jnp.asarray(_mk_hin(labels_arr(), clr,
                                                    r_lo)),

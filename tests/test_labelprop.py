@@ -199,3 +199,19 @@ def test_lp_randomized_config_sweep(monkeypatch):
                                            row_block=64, panel_tiles=pt)
         assert canon(got) == canon(host_partition(hashes, 0.05, 21)), \
             f"trial={trial} n={n} nc={nc} s={s} bits={bits} pt={pt}"
+
+
+def test_lp_label_delta_push_is_exact(monkeypatch):
+    """RTC_LP_LABEL_DELTA=1: device-resident labels updated by delta
+    scatter (full re-push when > dcap change) — identical partitions in
+    multi-panel mode, including with forced col-cap overflow."""
+    monkeypatch.setenv("RTC_LP_LABEL_DELTA", "1")
+    hashes = make_sketches(n=300, n_clusters=9, seed=13)
+    got = threshold_clusters_device_lp(hashes, 0.05, 21, bits=2048,
+                                       row_block=64, panel_tiles=2)
+    assert canon(got) == canon(host_partition(hashes, 0.05, 21))
+    monkeypatch.setenv("RTC_LP_COL_CAP", "4")
+    hashes = make_sketches(n=160, s=60, n_clusters=8, seed=9)
+    got = threshold_clusters_device_lp(hashes, 0.05, 21, bits=128,
+                                       row_block=64, panel_tiles=2)
+    assert canon(got) == canon(host_partition(hashes, 0.05, 21))
